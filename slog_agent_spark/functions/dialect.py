@@ -1,0 +1,144 @@
+"""SQL expression emitter, parameterized by dialect (spark | duckdb).
+
+The transform/match/template compilers in this package emit *SQL
+expression strings* through this shim. On the product path the strings are
+parsed by Spark via ``F.expr`` (identical Catalyst plan to the Column
+API — whole-stage codegen, predicate pushdown all apply). On the oracle
+path the same compiler emits DuckDB SQL, so the two engines execute the
+same compiled semantics and the driver's DuckDB comparison is meaningful.
+
+Only constructs with clean equivalents in both dialects are exposed;
+anything engine-specific must go through a method here, never inline.
+"""
+
+from __future__ import annotations
+
+
+class SqlDialect:
+    SPARK = "spark"
+    DUCKDB = "duckdb"
+
+    def __init__(self, name: str):
+        if name not in (self.SPARK, self.DUCKDB):
+            raise ValueError(f"unknown dialect {name!r}")
+        self.name = name
+
+    # -- literals -----------------------------------------------------
+    def lit(self, s: str) -> str:
+        """Quote a Python string as a SQL string literal.
+
+        Spark's parser processes backslash escapes inside literals;
+        DuckDB's (standard SQL) does not. Both double single quotes.
+        """
+        if self.name == self.SPARK:
+            s = s.replace("\\", "\\\\").replace("'", "\\'")
+            # real control chars → escape sequences the Spark parser accepts
+            s = s.replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r")
+            return f"'{s}'"
+        out = s.replace("'", "''")
+        if "\n" in out or "\t" in out or "\r" in out:
+            # standard quotes can't hold control chars portably → concat chr()
+            parts: list[str] = []
+            buf = ""
+            for ch in out:
+                if ch in "\n\t\r":
+                    if buf:
+                        parts.append(f"'{buf}'")
+                        buf = ""
+                    parts.append(f"chr({ord(ch)})")
+                else:
+                    buf += ch
+            if buf:
+                parts.append(f"'{buf}'")
+            return "(" + " || ".join(parts) + ")"
+        return f"'{out}'"
+
+    # -- regex --------------------------------------------------------
+    def rlike(self, col: str, pattern: str) -> str:
+        if self.name == self.SPARK:
+            return f"({col} RLIKE {self.lit(pattern)})"
+        return f"regexp_matches({col}, {self.lit(pattern)})"
+
+    def regexp_extract(self, col: str, pattern: str, group: int) -> str:
+        return f"regexp_extract({col}, {self.lit(pattern)}, {group})"
+
+    def regexp_replace_all(self, col: str, pattern: str, replacement: str) -> str:
+        """Replace ALL matches (Spark is global-only; DuckDB needs 'g')."""
+        if self.name == self.SPARK:
+            return f"regexp_replace({col}, {self.lit(pattern)}, {self.lit(replacement)})"
+        return (
+            f"regexp_replace({col}, {self.lit(pattern)}, "
+            f"{self.lit(replacement)}, 'g')"
+        )
+
+    # -- strings -------------------------------------------------------
+    def length(self, col: str) -> str:
+        return f"length({col})"
+
+    def substr(self, col: str, start_1based: str, length: str) -> str:
+        return f"substr({col}, {start_1based}, {length})"
+
+    def concat(self, *parts: str) -> str:
+        return "(" + " || ".join(parts) + ")"
+
+    def replace_literal(self, col: str, search: str, replacement: str) -> str:
+        return f"replace({col}, {self.lit(search)}, {self.lit(replacement)})"
+
+    def starts_with(self, col: str, prefix: str) -> str:
+        fn = "startswith" if self.name == self.SPARK else "starts_with"
+        return f"{fn}({col}, {self.lit(prefix)})"
+
+    def ends_with(self, col: str, suffix: str) -> str:
+        fn = "endswith" if self.name == self.SPARK else "ends_with"
+        return f"{fn}({col}, {self.lit(suffix)})"
+
+    def contains(self, col: str, needle: str) -> str:
+        return f"contains({col}, {self.lit(needle)})"
+
+    def trim_chars(self, col: str, chars: str) -> str:
+        """Trim the given characters from both ends."""
+        if self.name == self.SPARK:
+            return f"trim(BOTH {self.lit(chars)} FROM {col})"
+        return f"trim({col}, {self.lit(chars)})"
+
+    # -- control flow ---------------------------------------------------
+    def if_(self, cond: str, then: str, otherwise: str) -> str:
+        return f"(CASE WHEN {cond} THEN {then} ELSE {otherwise} END)"
+
+    def case(self, whens: list[tuple[str, str]], otherwise: str) -> str:
+        body = " ".join(f"WHEN {c} THEN {v}" for c, v in whens)
+        return f"(CASE {body} ELSE {otherwise} END)"
+
+    # -- maps / pools ----------------------------------------------------
+    def pool(self, items: list[str], idx0: str) -> str:
+        lits = ", ".join(self.lit(s) for s in items)
+        if self.name == self.SPARK:
+            return f"element_at(array({lits}), CAST(({idx0}) + 1 AS INT))"
+        return f"[{lits}][CAST(({idx0}) + 1 AS INT)]"
+
+    def map_lookup(self, mapping: dict[str, str], key: str, default: str) -> str:
+        """Constant dict lookup with default expr (small dims: stays a
+        literal CASE — at bigger sizes callers should broadcast-join)."""
+        whens = [(f"{key} = {self.lit(k)}", self.lit(v)) for k, v in mapping.items()]
+        return self.case(whens, default)
+
+    # -- hashing -----------------------------------------------------------
+    def md5(self, col: str) -> str:
+        return f"md5({col})"
+
+    def hex_to_long(self, hexcol: str) -> str:
+        """First 15 hex chars → BIGINT (portable; avoids sign issues)."""
+        if self.name == self.SPARK:
+            return f"CAST(conv(substr({hexcol}, 1, 15), 16, 10) AS BIGINT)"
+        return f"CAST(('0x' || substr({hexcol}, 1, 15)) AS BIGINT)"
+
+    # -- timestamps ----------------------------------------------------------
+    def try_to_timestamp(self, col: str) -> str:
+        """Parse RFC3339-ish 'yyyy-MM-ddTHH:mm:ssZ'; NULL on failure."""
+        if self.name == self.SPARK:
+            return f"try_to_timestamp(replace({col}, 'Z', ''), 'yyyy-MM-dd\\'T\\'HH:mm:ss')"
+        return f"try_cast(replace({col}, 'Z', '') AS TIMESTAMP)"
+
+
+SPARK = SqlDialect(SqlDialect.SPARK)
+DUCKDB = SqlDialect(SqlDialect.DUCKDB)
