@@ -63,9 +63,16 @@ class SqlDialect:
         return f"regexp_extract({col}, {self.lit(pattern)}, {group})"
 
     def regexp_replace_all(self, col: str, pattern: str, replacement: str) -> str:
-        """Replace ALL matches (Spark is global-only; DuckDB needs 'g')."""
+        """Replace ALL matches (Spark is global-only; DuckDB needs 'g').
+
+        Capture-group references use Java's ``$1`` syntax in the input and
+        are translated to RE2's ``\\1`` for DuckDB.
+        """
         if self.name == self.SPARK:
             return f"regexp_replace({col}, {self.lit(pattern)}, {self.lit(replacement)})"
+        import re as _re
+
+        replacement = _re.sub(r"\$(\d)", r"\\\1", replacement)
         return (
             f"regexp_replace({col}, {self.lit(pattern)}, "
             f"{self.lit(replacement)}, 'g')"
@@ -100,6 +107,10 @@ class SqlDialect:
         if self.name == self.SPARK:
             return f"trim(BOTH {self.lit(chars)} FROM {col})"
         return f"trim({col}, {self.lit(chars)})"
+
+    def to_string(self, expr: str) -> str:
+        t = "STRING" if self.name == self.SPARK else "VARCHAR"
+        return f"CAST(({expr}) AS {t})"
 
     # -- control flow ---------------------------------------------------
     def if_(self, cond: str, then: str, otherwise: str) -> str:
