@@ -69,6 +69,7 @@ class CompiledChain:
     drop_cond: str                         # filter-out condition
     counters: list[tuple[str, str]]        # (label, condition expr)
     ts_expr: str | None = None             # parseTime result (timestamp)
+    unescaped: str = "unescaped"           # final unescaped-flag expr
 
 
 @dataclass
@@ -345,4 +346,5 @@ def compile_chain(
         drop_cond=state.drop_cond,
         counters=state.counters,
         ts_expr=state.ts_expr,
+        unescaped=state.unescaped,
     )

@@ -1,0 +1,225 @@
+"""End-to-end pipeline assembly: parse → transform → route → aggregate.
+
+The whole per-record path (grok parse + 20-odd transform steps + tag
+template) compiles into a SINGLE Spark projection — one whole-stage
+codegen span over the parquet scan — followed by one filter and, for the
+routed/aggregated outputs, exactly one shuffle on the orchestration keys.
+This is the Spark-native shape of the reference's
+input-thread → keyset-worker → sink pipeline (reference:
+orchestrate/obase/pipelines.go:29-103).
+
+Every public query here has a DuckDB-oracle twin generated from the same
+compiler with the duckdb dialect, so the driver's correctness gate checks
+real engine-vs-engine execution of identical semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.dialect import DUCKDB, SPARK, SqlDialect
+from ..functions.template import compile_template
+from ..operators.transforms import CompiledChain, compile_chain
+from ..sources.parser import PARSED_FIELDS, parse_oracle_select, parse_transcripts
+from ..sources.transcripts import transcripts_df, transcripts_oracle_cte
+from .config import (
+    ALL_LABELS,
+    EXTRACTIONS,
+    METRIC_KEYS,
+    ORCHESTRATION_KEYS,
+    ORCHESTRATION_TAG,
+    SCHEMA_FIELDS,
+    TRANSFORMATIONS,
+)
+
+# Columns arriving from the parse stage (passthrough + parsed fields).
+INPUT_FIELDS = frozenset(
+    PARSED_FIELDS
+    + ["conv_id", "turn_idx", "role", "tool", "ts", "unescaped",
+       "raw_length", "parse_ok"]
+)
+
+PASSTHROUGH = ["conv_id", "turn_idx", "role", "tool", "raw_length"]
+
+
+def label_col(label: str) -> str:
+    """Metric label → safe column name (labels may contain '-'/'!')."""
+    return "lbl_" + label.replace("!", "not_").replace("-", "_")
+
+
+def compile_pipeline(d: SqlDialect) -> tuple[CompiledChain, dict[str, str]]:
+    """Compile the full chain; return (chain, select items name→expr)."""
+    chain = compile_chain(
+        d, EXTRACTIONS + TRANSFORMATIONS, SCHEMA_FIELDS, set(INPUT_FIELDS)
+    )
+    resolver = lambda n: "(" + chain.env[n] + ")"  # noqa: E731
+    tag = compile_template(ORCHESTRATION_TAG, d, resolver)
+    items: dict[str, str] = {c: c for c in PASSTHROUGH}
+    items["ts"] = chain.ts_expr or "ts"
+    for f in SCHEMA_FIELDS:
+        items[f] = chain.env[f]
+    items["tag"] = tag
+    items["unescaped"] = chain.unescaped
+    items["dropped"] = chain.drop_cond
+    for label, cond in chain.counters:
+        items[label_col(label)] = cond
+    return chain, items
+
+
+# ---------------------------------------------------------------------------
+# Spark (product) side
+# ---------------------------------------------------------------------------
+
+def transformed_df(
+    spark: SparkSession, sf_dir: str, explode: int = 1
+) -> DataFrame:
+    """Parsed + fully transformed rows (pre-drop-filter, with flag cols).
+
+    Malformed input (no parsable header) is excluded here and counted by
+    :func:`input_counters_df` — mirroring the reference's input counters
+    (reference: base/loginputcounterset.go:12-55).
+    """
+    parsed = parse_transcripts(transcripts_df(spark, sf_dir, explode))
+    _, items = compile_pipeline(SPARK)
+    return parsed.where("parse_ok").select(
+        *[F.expr(e).alias(k) for k, e in items.items()]
+    )
+
+
+def passed_df(
+    spark: SparkSession, sf_dir: str, explode: int = 1, salt_buckets: int = 0
+) -> DataFrame:
+    """Rows surviving the chain, shuffled onto the orchestration keys.
+
+    ``salt_buckets > 0`` adds a deterministic salt to spread hot keysets
+    (Zipf conversations) across that many sub-partitions — the Spark
+    equivalent of the reference's per-keyset queue fairness
+    (reference: DESIGN.md:46-48). The salt never changes results; it only
+    changes physical placement.
+    """
+    df = transformed_df(spark, sf_dir, explode).where("NOT dropped")
+    keys = [F.col(k) for k in ORCHESTRATION_KEYS]
+    if salt_buckets > 0:
+        salt = F.pmod(F.xxhash64("conv_id"), F.lit(salt_buckets)).alias("_salt")
+        return df.repartition(*keys, salt)
+    return df.repartition(*keys)
+
+
+def routed_counts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sink routed-row counts (the north rule's core invariant)."""
+    return (
+        transformed_df(spark, sf_dir)
+        .where("NOT dropped")
+        .groupBy("tag", *ORCHESTRATION_KEYS)
+        .agg(
+            F.count("*").alias("routed_records"),
+            F.sum("raw_length").alias("routed_bytes"),
+        )
+    )
+
+
+def metrics_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-keyset × metric-key counters — the reference's process metrics
+    (reference: base/logprocesscounterset.go:20-33,105-143).
+
+    One hash aggregate with partial (map-side) combine; label counters are
+    conditional sums computed in the same pass.
+    """
+    df = transformed_df(spark, sf_dir)
+    aggs = [
+        F.sum(F.when(~F.col("dropped"), 1).otherwise(0)).alias("passed_records"),
+        F.sum(F.when(~F.col("dropped"), F.col("raw_length")).otherwise(0)).alias("passed_bytes"),
+        F.sum(F.when(F.col("dropped"), 1).otherwise(0)).alias("dropped_records"),
+        F.sum(F.when(F.col("dropped"), F.col("raw_length")).otherwise(0)).alias("dropped_bytes"),
+    ]
+    for label in ALL_LABELS:
+        c = label_col(label)
+        aggs.append(F.sum(F.when(F.col(c), 1).otherwise(0)).alias(f"{c}_records"))
+        aggs.append(
+            F.sum(F.when(F.col(c), F.col("raw_length")).otherwise(0)).alias(f"{c}_bytes")
+        )
+    return df.groupBy(*ORCHESTRATION_KEYS, *METRIC_KEYS).agg(*aggs)
+
+
+def input_counters_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input-stage counters: parsed vs malformed records + bytes."""
+    parsed = parse_transcripts(transcripts_df(spark, sf_dir))
+    return parsed.agg(
+        F.sum(F.when(F.col("parse_ok"), 1).otherwise(0)).alias("passed_records"),
+        F.sum(F.when(F.col("parse_ok"), F.col("raw_length")).otherwise(0)).alias("passed_bytes"),
+        F.sum(F.when(~F.col("parse_ok"), 1).otherwise(0)).alias("malformed_records"),
+        F.sum(F.when(~F.col("parse_ok"), F.col("raw_length")).otherwise(0)).alias("malformed_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB (oracle) side — same compiler, duckdb dialect
+# ---------------------------------------------------------------------------
+
+def _q(name: str) -> str:
+    return f'"{name}"'
+
+
+def transformed_oracle_cte(explode: int = 1) -> str:
+    """WITH-chain producing the `transformed` relation in DuckDB."""
+    _, items = compile_pipeline(DUCKDB)
+    sel = ", ".join(f"{e} AS {_q(k)}" for k, e in items.items())
+    return (
+        f"WITH transcripts AS ({transcripts_oracle_cte(explode)}), "
+        f"parsed_all AS ({parse_oracle_select('transcripts')}), "
+        f"parsed AS (SELECT * FROM parsed_all WHERE parse_ok), "
+        f"transformed AS (SELECT {sel} FROM parsed)"
+    )
+
+
+def passed_rows_oracle_sql(columns: list[str]) -> str:
+    cols = ", ".join(_q(c) for c in columns)
+    return (
+        transformed_oracle_cte()
+        + f" SELECT {cols} FROM transformed WHERE NOT dropped"
+    )
+
+
+def routed_counts_oracle_sql() -> str:
+    keys = ", ".join(["tag"] + ORCHESTRATION_KEYS)
+    return (
+        transformed_oracle_cte()
+        + f""" SELECT {keys},
+               count(*) AS routed_records,
+               sum(raw_length) AS routed_bytes
+           FROM transformed WHERE NOT dropped GROUP BY {keys}"""
+    )
+
+
+def metrics_oracle_sql() -> str:
+    keys = ", ".join(ORCHESTRATION_KEYS + METRIC_KEYS)
+    aggs = [
+        "sum(CASE WHEN NOT dropped THEN 1 ELSE 0 END) AS passed_records",
+        "sum(CASE WHEN NOT dropped THEN raw_length ELSE 0 END) AS passed_bytes",
+        "sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS dropped_records",
+        "sum(CASE WHEN dropped THEN raw_length ELSE 0 END) AS dropped_bytes",
+    ]
+    for label in ALL_LABELS:
+        c = label_col(label)
+        aggs.append(f"sum(CASE WHEN {_q(c)} THEN 1 ELSE 0 END) AS {c}_records")
+        aggs.append(
+            f"sum(CASE WHEN {_q(c)} THEN raw_length ELSE 0 END) AS {c}_bytes"
+        )
+    return (
+        transformed_oracle_cte()
+        + f" SELECT {keys}, {', '.join(aggs)} FROM transformed GROUP BY {keys}"
+    )
+
+
+def input_counters_oracle_sql() -> str:
+    return (
+        f"WITH transcripts AS ({transcripts_oracle_cte()}), "
+        f"parsed AS ({parse_oracle_select('transcripts')}) "
+        "SELECT "
+        "sum(CASE WHEN parse_ok THEN 1 ELSE 0 END) AS passed_records, "
+        "sum(CASE WHEN parse_ok THEN raw_length ELSE 0 END) AS passed_bytes, "
+        "sum(CASE WHEN NOT parse_ok THEN 1 ELSE 0 END) AS malformed_records, "
+        "sum(CASE WHEN NOT parse_ok THEN raw_length ELSE 0 END) AS malformed_bytes "
+        "FROM parsed"
+    )

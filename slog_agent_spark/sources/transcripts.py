@@ -82,7 +82,12 @@ class _Dialect:
 
 
 def _body_sql(d: _Dialect, eid: str) -> str:
-    """The log body, selected by payload class ``eid % 20``."""
+    """The log body, selected by payload class ``eid % 19``.
+
+    19 is coprime with the app (mod 4), source (mod 7), severity (mod 8)
+    selectors, so every (app, source, level, payload) combination occurs —
+    each conditional transform path gets real traffic.
+    """
     nl = d.newline()
     cls = d.arr(CLASSES, f"{eid} % 4")
     local = d.arr(EMAIL_LOCALS, f"{eid} % 4")
@@ -95,23 +100,23 @@ def _body_sql(d: _Dialect, eid: str) -> str:
     # literals. We therefore double them for the spark dialect.
     bs = "\\\\" if d.name == "spark" else "\\"
     return f"""CASE
-      WHEN {eid} % 20 <= 5 THEN
+      WHEN {eid} % 19 <= 5 THEN
         '[' || {cls} || '] - task ' || {d.s(eid)} || ' completed in ' || {d.s(f'{eid} % 500')} || 'ms'
-      WHEN {eid} % 20 <= 8 THEN
+      WHEN {eid} % 19 <= 8 THEN
         'job state=done retries=' || {d.s(f'{eid} % 5')}
-      WHEN {eid} % 20 <= 10 THEN
+      WHEN {eid} % 19 <= 10 THEN
         'GET /api/v' || {d.s(f'{eid} % 3')} || '/items ip=10.0.' || {d.s(f'{eid} % 200')}
           || '.1 time="' || {d.s(f'{eid} % 90')} || 'ms" user_agent="Mozilla/5.0 (X11; Linux)"'
-      WHEN {eid} % 20 = 11 THEN
+      WHEN {eid} % 19 = 11 THEN
         'POST "/submit" params=' || repeat('abcdefghij', CAST(19 + ({eid} % 8) AS INT))
-      WHEN {eid} % 20 <= 13 THEN
+      WHEN {eid} % 19 <= 13 THEN
         'userName: ' || {local} || '@' || {domain} || ' logged in'
-      WHEN {eid} % 20 <= 15 THEN
+      WHEN {eid} % 19 <= 15 THEN
         'ERROR exception occurred{bs}n{bs}tat com.example.Handler(Handler.java:'
           || {d.s(f'{eid} % 300')} || '){bs}n{bs}tat com.example.Main(Main.java:12)'
-      WHEN {eid} % 20 = 16 THEN
+      WHEN {eid} % 19 = 16 THEN
         'panic: failure' || {nl} || 'goroutine 1 [running]:' || {nl} || 'main.go:' || {d.s(f'{eid} % 77')}
-      WHEN {eid} % 20 <= 18 THEN
+      WHEN {eid} % 19 = 17 THEN
         'pam_unix(sshd:session): session opened for user u' || {d.s(f'{eid} % 50')}
       ELSE
         'health check ok seq=' || {d.s(f'{eid} % 100')}
@@ -150,8 +155,10 @@ def transcripts_select_sql(
     pid = d.s(f"100 + ({eid} % 900)")
     # source: 3 plain files + a task-uuid-suffixed one (extractTail target,
     # reference: testdata/config_sample.yml:78-82)
-    source = f"""CASE {eid} % 4
-        WHEN 0 THEN 'main.log' WHEN 1 THEN 'access.log' WHEN 2 THEN 'auth.log'
+    source = f"""CASE
+        WHEN {eid} % 7 < 2 THEN 'main.log'
+        WHEN {eid} % 7 < 4 THEN 'access.log'
+        WHEN {eid} % 7 < 6 THEN 'auth.log'
         ELSE 'cron.log:123e4567-e89b-12d3-a456-4266141740' || lpad({d.s(f'{eid} % 100')}, 2, '0')
       END"""
     conv_bucket = f"""CASE WHEN {eid} % 10 < 3 THEN user_id % {N_HOT_CONVS}

@@ -1,0 +1,78 @@
+"""Flagship pipeline end-to-end: Spark vs DuckDB oracle parity.
+
+Covers the north rule's invariants: per-turn text (log) equality under
+stable (conv_id, turn_idx) ordering, per-sink routed-row counts, and the
+per-keyset metric aggregates; plus total-in = passed + dropped
+(reference: test/benchmarks.go:149-153).
+"""
+
+from __future__ import annotations
+
+from conftest import assert_df_equals_oracle
+from pyspark.sql import functions as F
+
+from slog_agent_spark.plans import pipeline as P
+
+
+def test_per_turn_text_equality(spark, sf_dir, duck):
+    cols = ["conv_id", "turn_idx", "log", "tag", "level", "app", "vhost",
+            "source", "class", "task", "pnum", "hostname", "service"]
+    df = P.transformed_df(spark, sf_dir).where("NOT dropped").select(*cols)
+    assert_df_equals_oracle(df, duck, P.passed_rows_oracle_sql(cols))
+
+
+def test_routed_counts(spark, sf_dir, duck):
+    df = P.routed_counts_df(spark, sf_dir)
+    df = df.withColumn("routed_records", F.col("routed_records").cast("long"))
+    df = df.withColumn("routed_bytes", F.col("routed_bytes").cast("long"))
+    assert_df_equals_oracle(df, duck, P.routed_counts_oracle_sql())
+
+
+def test_metrics(spark, sf_dir, duck):
+    df = P.metrics_df(spark, sf_dir)
+    for c in df.columns:
+        if c.endswith("_records") or c.endswith("_bytes"):
+            df = df.withColumn(c, F.col(c).cast("long"))
+    assert_df_equals_oracle(df, duck, P.metrics_oracle_sql())
+
+
+def test_input_counters(spark, sf_dir, duck):
+    df = P.input_counters_df(spark, sf_dir)
+    for c in df.columns:
+        df = df.withColumn(c, F.col(c).cast("long"))
+    assert_df_equals_oracle(df, duck, P.input_counters_oracle_sql())
+
+
+def test_passed_plus_dropped_is_total(spark, sf_dir):
+    t = P.transformed_df(spark, sf_dir).cache()
+    try:
+        total = t.count()
+        passed = t.where("NOT dropped").count()
+        dropped = t.where("dropped").count()
+        assert passed + dropped == total
+        assert dropped > 0  # drop transforms actually fire on the corpus
+    finally:
+        t.unpersist()
+
+
+def test_transform_effects_visible(spark, sf_dir):
+    """Sanity: each major transform leaves its footprint on the corpus."""
+    t = P.transformed_df(spark, sf_dir).where("NOT dropped").cache()
+    try:
+        assert t.where("class != ''").count() > 0          # extractHead
+        assert t.where("task LIKE '%:%'").count() > 0      # if+addFields
+        assert t.where("vhost != ''").count() > 0          # extractTail
+        assert t.where("log LIKE '%REDACTED%'").count() > 0  # redactEmail
+        assert t.where("log LIKE '% ... (cut)'").count() > 0  # truncate
+        assert t.where("app = 'abandoned' AND log LIKE 'task=%'").count() > 0
+        assert t.where("contains(log, '\n') AND app = 'abandoned'").count() > 0  # unescape
+        assert t.where("time != ''").count() == 0          # delFields after parseTime
+        assert t.select("tag").distinct().count() >= 3     # tag fan-out
+    finally:
+        t.unpersist()
+
+
+def test_salted_repartition_preserves_rows(spark, sf_dir):
+    base = P.transformed_df(spark, sf_dir).where("NOT dropped").count()
+    salted = P.passed_df(spark, sf_dir, salt_buckets=8).count()
+    assert base == salted
