@@ -1,38 +1,82 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from slog_agent_spark.plans import pipeline as P  # noqa: E402
+from slog_agent_spark.sources.parser import (  # noqa: E402
+    parse_oracle_select,
+    parse_transcripts,
+)
+from slog_agent_spark.sources.transcripts import (  # noqa: E402
+    transcripts_df,
+    transcripts_oracle_cte,
+)
+
+PASSED_COLS = [
+    "conv_id", "turn_idx", "log", "tag", "level", "app", "vhost",
+    "source", "class", "task", "pnum", "hostname", "service",
+]
+
+
+def _cast_counts_long(df: DataFrame) -> DataFrame:
+    for c, t in df.dtypes:
+        if t in ("bigint", "int") or c.endswith(("_records", "_bytes")):
+            df = df.withColumn(c, F.col(c).cast("long"))
+    return df
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full parse→transform→route→aggregate at sf0.001."""
+    return P.routed_counts_df(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "transcripts_derivation": lambda spark, sf: transcripts_df(spark, sf).drop("ts"),
+        "grok_parse_rfc5424": lambda spark, sf: _cast_counts_long(
+            parse_transcripts(transcripts_df(spark, sf)).drop("ts")
+        ),
+        "pipeline_passed_rows": lambda spark, sf: P.transformed_df(spark, sf)
+        .where("NOT dropped")
+        .select(*PASSED_COLS),
+        "pipeline_routed_counts": lambda spark, sf: _cast_counts_long(
+            P.routed_counts_df(spark, sf)
+        ),
+        "pipeline_metrics": lambda spark, sf: _cast_counts_long(P.metrics_df(spark, sf)),
+        "pipeline_input_counters": lambda spark, sf: _cast_counts_long(
+            P.input_counters_df(spark, sf)
+        ),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "transcripts_derivation": "WITH t AS ("
+        + transcripts_oracle_cte()
+        + ") SELECT conv_id, turn_idx, role, text, tool FROM t",
+        "grok_parse_rfc5424": "WITH transcripts AS ("
+        + transcripts_oracle_cte()
+        + "), p AS ("
+        + parse_oracle_select("transcripts")
+        + ") SELECT conv_id, turn_idx, role, tool, parse_ok, facility, level,"
+        " time, host, app, pid, source, extradata, log, unescaped, raw_length FROM p",
+        "pipeline_passed_rows": P.passed_rows_oracle_sql(PASSED_COLS),
+        "pipeline_routed_counts": P.routed_counts_oracle_sql(),
+        "pipeline_metrics": P.metrics_oracle_sql(),
+        "pipeline_input_counters": P.input_counters_oracle_sql(),
+    }
