@@ -1,0 +1,127 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "turns_per_sec": ...,
+     "turns": ..., "cpus": ...}
+
+Setup (untimed): the synthetic transcript table is derived from the
+events parquet and MATERIALIZED to local parquet — it is the pipeline's
+input per BASELINE.json, not part of the measured job (the reference
+likewise pre-loads its input corpus into memory before timing,
+reference: test/benchmarks.go:81-133).
+
+Timed queries mirror `benchmark agent --output null`
+(reference: test/benchmarks.go:46-70):
+    parse_only             grok parse + checksum
+    pipeline_null_sink     parse → 20-step transform chain → checksum
+    route_aggregate        parse → transform → shuffle on keys → metrics
+    sink_write_partitioned full fan-out write, partitionBy(tag), salted
+
+Env knobs:
+    SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+    SLOG_BENCH_EXPLODE   turns per event (default 10 → 1M turns at sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from slog_agent_spark.operators.metrics import process_metrics  # noqa: E402
+from slog_agent_spark.plans import pipeline as P  # noqa: E402
+from slog_agent_spark.plans.config import ORCHESTRATION_KEYS  # noqa: E402
+from slog_agent_spark.session import build_session  # noqa: E402
+from slog_agent_spark.sources.parser import parse_transcripts  # noqa: E402
+from slog_agent_spark.sources.transcripts import transcripts_df  # noqa: E402
+
+
+def run_bench(sf_dir: str, cpus: int, explode: int) -> dict:
+    spark = build_session(
+        app_name="slog-agent-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(2 * cpus, 32),
+    )
+    timings: dict[str, float] = {}
+    work = tempfile.mkdtemp(prefix="slog-bench-")
+    try:
+        # ---- setup (untimed): materialize the input transcript table ----
+        tdir = f"{work}/transcripts"
+        transcripts_df(spark, sf_dir, explode).write.parquet(tdir)
+        transcripts = spark.read.parquet(tdir)
+        n_turns = transcripts.count()
+
+        def timed(name: str, fn):
+            t0 = time.time()
+            out = fn()
+            timings[name] = round(time.time() - t0, 3)
+            return out
+
+        timed(
+            "parse_only",
+            lambda: parse_transcripts(transcripts)
+            .agg(F.sum(F.crc32("log")), F.sum("raw_length"))
+            .collect(),
+        )
+        # full chain, null sink: checksums force every column expression
+        timed(
+            "pipeline_null_sink",
+            lambda: P.transform_transcripts(transcripts)
+            .where("NOT dropped")
+            .agg(
+                F.count("*"),
+                F.sum(F.crc32("log")),
+                F.sum(F.crc32("tag")),
+                F.sum(F.crc32("task")),
+                F.sum("raw_length"),
+            )
+            .collect(),
+        )
+        # routed aggregate (the shuffle path)
+        timed(
+            "route_aggregate",
+            lambda: process_metrics(P.transform_transcripts(transcripts)).collect(),
+        )
+        # real fan-out sink write, partitioned by tag (per-keyset sinks)
+        out_dir = f"{work}/sink"
+        timed(
+            "sink_write_partitioned",
+            lambda: P.transform_transcripts(transcripts)
+            .where("NOT dropped")
+            .repartition(*[F.col(k) for k in ORCHESTRATION_KEYS])
+            .write.mode("overwrite")
+            .partitionBy("tag")
+            .parquet(out_dir),
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+    pipeline_sec = timings["pipeline_null_sink"]
+    return {
+        "metric": "parse_route_aggregate_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "turns": n_turns,
+        "cpus": cpus,
+        "explode": explode,
+        "turns_per_sec": round(n_turns / pipeline_sec, 1) if pipeline_sec else None,
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    explode = int(os.environ.get("SLOG_BENCH_EXPLODE", "10"))
+    print(json.dumps(run_bench(sf_dir, cpus, explode)))

@@ -2,30 +2,32 @@
 
 The reference runs records one-at-a-time through a chain of closures
 (reference: base/logtransform.go:5-13, registry transform/index.go:24-40).
-We compile the *whole chain* into one set of SQL column expressions — a
-single Catalyst projection + one filter + a counter spec — so the entire
-pipeline is one whole-stage-codegen span, vectorized, with nothing
-row-at-a-time in Python.
+We compile the *whole chain* into a stack of small projections in SSA
+form — every step's outputs are named columns referencing the previous
+step's columns, never textually-inlined sub-expressions. That keeps the
+expression DAG linear in chain length (a naive substitution compiler
+re-evaluates each regex once per textual occurrence — measured 50KB+ of
+SQL and ~10× slowdown for the flagship chain). Catalyst's
+CollapseProject merges the cheap layers and keeps expensive shared
+aliases materialized, so each regex/template runs exactly once per row
+inside one whole-stage-codegen span.
 
-Compilation threads three pieces of state through the step list:
+Compilation state threads through the step list:
 
-    env        field → SQL expression (the record's current value as an
-               expression over the input columns)
-    alive      boolean expr: record not dropped by any prior `drop`
+    fields     schema columns (current value = same-named column of the
+               latest layer)
+    guard      boolean column name (or TRUE): conjunction of enclosing
+               if/switch conditions — conditional steps become CASE WHEN
+               threading, not branches
+    alive      boolean column: record not dropped by a prior `drop`
                (drop aborts the chain in the reference,
                base/bsupport/logtransforms.go:13-20 — later counters must
                not see dropped rows)
-    guard      boolean expr: the conjunction of enclosing if/switch
-               conditions (conditional steps become CASE WHEN threading,
-               not branches)
-
-Output: `CompiledChain` with final field expressions, the drop filter,
-labelled-counter conditions (reference: metricLabel counters,
-base/logprocesscounterset.go:85-103) and the parsed-timestamp expression.
 
 Dialect-parameterized: the same compiler emits Spark SQL (product path,
-run via F.expr) or DuckDB SQL (oracle path), so correctness is checked
-engine-vs-engine on identical semantics.
+applied as stacked ``withColumns`` of ``F.expr``) or DuckDB SQL (oracle
+path, nested subqueries), so correctness is checked engine-vs-engine on
+identical semantics.
 
 Documented divergences from the reference (see SURVEY.md §2.4):
 - `drop` percentage<100: the reference keeps a sequential running ratio
@@ -64,28 +66,47 @@ UNESCAPE_PAIRS = [
 
 @dataclass
 class CompiledChain:
-    env: dict[str, str]                    # field -> final SQL expr
-    alive: str                             # NOT dropped condition
-    drop_cond: str                         # filter-out condition
-    counters: list[tuple[str, str]]        # (label, condition expr)
-    ts_expr: str | None = None             # parseTime result (timestamp)
-    unescaped: str = "unescaped"           # final unescaped-flag expr
+    """SSA-layered compilation result.
+
+    ``layers``: list of {column: expr-over-previous-layer}; columns not
+    mentioned in a layer pass through unchanged. Schema fields keep their
+    own names; helper columns are ``__t<n>``.
+    """
+
+    layers: list[dict[str, str]]
+    fields: list[str]
+    dropped_col: str                       # boolean column: filtered out
+    counters: list[tuple[str, str]]        # (label, boolean column)
+    ts_col: str | None = None              # parseTime result column
+    unescaped_col: str = "unescaped"       # final unescaped-flag column
+    helper_cols: list[str] = field(default_factory=list)
 
 
 @dataclass
 class _State:
     d: SqlDialect
-    env: dict[str, str]
-    alive: str = "TRUE"
-    drop_cond: str = "FALSE"
+    fields: list[str]
+    layers: list[dict[str, str]] = field(default_factory=list)
     counters: list[tuple[str, str]] = field(default_factory=list)
-    ts_expr: str | None = None
-    unescaped: str = "unescaped"           # boolean column expr
+    helpers: list[str] = field(default_factory=list)
+    alive: str = "TRUE"
+    dropped: str = "FALSE"
+    ts_col: str | None = None
+    unescaped: str = "unescaped"
     input_fields: frozenset[str] = frozenset()
+    _seq: int = 0
 
-    def resolver(self):
-        e = dict(self.env)
-        return lambda name: "(" + e[name] + ")"
+    def emit(self, updates: dict[str, str]) -> None:
+        if updates:
+            self.layers.append(updates)
+
+    def tmp(self, expr: str) -> str:
+        """Materialize an expression as a hidden column; return its name."""
+        self._seq += 1
+        name = f"__t{self._seq}"
+        self.helpers.append(name)
+        self.emit({name: expr})
+        return name
 
 
 def _and(*conds: str) -> str:
@@ -93,6 +114,14 @@ def _and(*conds: str) -> str:
     if not real:
         return "TRUE"
     return "(" + " AND ".join(real) + ")"
+
+
+def _guarded(state: _State, guard: str, key: str, new_expr: str) -> None:
+    """Set field ``key`` to ``new_expr`` where guard holds, else keep."""
+    if guard == "TRUE":
+        state.emit({key: new_expr})
+    else:
+        state.emit({key: state.d.if_(guard, new_expr, key)})
 
 
 def _named_groups_to_plain(pattern: str) -> tuple[str, dict[str, int]]:
@@ -132,12 +161,14 @@ _EXTRACT_PATTERN = re.compile(
 )
 
 
-def _compile_extract_special(pattern: str, head: bool) -> str:
-    """extractHead/extractTail mini-pattern → anchored regex with 1 group.
+def _compile_extract_special(pattern: str, head: bool) -> tuple[str, str, str]:
+    """extractHead/extractTail mini-pattern → (regex, lit_prefix, lit_suffix).
 
     Grammar: literal-prefix + (* | [charset]) + literal-suffix
     (reference: transform/textractspecial/stringextractor.go:166-259).
-    The literal parts may escape specials with backslash.
+    The literal parts come back unescaped so callers can emit cheap
+    startswith/endswith/contains prechecks that short-circuit the regex —
+    the Spark analogue of the reference's scan-without-regex design.
     """
     m = _EXTRACT_PATTERN.match(pattern)
     if not m:
@@ -147,20 +178,17 @@ def _compile_extract_special(pattern: str, head: bool) -> str:
     def unescape_lit(s: str) -> str:
         return re.sub(r"\\(.)", r"\1", s)
 
-    prefix = re.escape(unescape_lit(prefix_raw))
-    suffix = re.escape(unescape_lit(suffix_raw))
+    prefix_lit = unescape_lit(prefix_raw)
+    suffix_lit = unescape_lit(suffix_raw)
+    prefix = re.escape(prefix_lit)
+    suffix = re.escape(suffix_lit)
     if star is not None:
         capture = "(.*?)" if (head and suffix) else "(.*)"
     else:
         capture = f"([{charset}]*)"
     if head:
-        return "^" + prefix + capture + suffix
-    return prefix + capture + suffix + "$"
-
-
-def _apply(state: _State, guard: str, key: str, new_expr: str) -> None:
-    old = state.env[key]
-    state.env[key] = new_expr if guard == "TRUE" else state.d.if_(guard, new_expr, old)
+        return "^" + prefix + capture + suffix, prefix_lit, suffix_lit
+    return prefix + capture + suffix + "$", prefix_lit, suffix_lit
 
 
 def compile_steps(state: _State, steps: list[dict], guard: str) -> None:
@@ -171,9 +199,10 @@ def compile_steps(state: _State, steps: list[dict], guard: str) -> None:
         if t == "addFields":
             # reference: transform/taddfields/taddfields.go:64-76
             for dst, template in step["fields"].items():
-                expr = compile_template(str(template), d, state.resolver())
-                cond = _and(guard, f"{d.length('(' + expr + ')')} > 0")
-                _apply(state, cond, dst, expr)
+                expr = compile_template(str(template), d)
+                val = state.tmp(expr)
+                cond = _and(guard, f"{d.length(val)} > 0")
+                _guarded(state, cond, dst, val)
 
         elif t == "block":
             # reference: transform/tblock/tblock.go:38-40
@@ -181,141 +210,170 @@ def compile_steps(state: _State, steps: list[dict], guard: str) -> None:
 
         elif t == "delFields":
             # reference: transform/tdelfields/tdelfields.go:46-52
-            for k in step["keys"]:
-                _apply(state, guard, k, "''")
+            state.emit(
+                {k: "''" if guard == "TRUE" else d.if_(guard, "''", k)
+                 for k in step["keys"]}
+            )
 
         elif t == "drop":
             # reference: transform/tdrop/tdrop.go:65-85
-            mcond = compile_match(d, step.get("match", {}), state.resolver())
+            mcond = compile_match(d, step.get("match", {}))
             pct = int(step.get("percentage", 100))
-            matched = _and(guard, state.alive, mcond)
+            matched = state.tmp(_and(guard, state.alive, mcond))
             if pct >= 100:
-                samp = "TRUE"
+                drop = matched
             else:
                 h = d.hex_to_long(
                     d.md5(d.concat("conv_id", "':'", d.to_string("turn_idx")))
                 )
-                samp = f"(({h}) % 100 < {pct})"
-            dropped = _and(matched, samp)
+                samp = state.tmp(f"(({h}) % 100 < {pct})")
+                drop = state.tmp(_and(matched, samp))
             label = step.get("metricLabel")
             if label:
-                state.counters.append((label, dropped))
+                state.counters.append((label, drop))
                 if pct < 100:
-                    state.counters.append(
-                        ("!" + label, _and(matched, f"NOT {samp}"))
-                    )
-            state.drop_cond = f"({state.drop_cond} OR {dropped})"
-            state.alive = _and(state.alive, f"NOT {dropped}")
+                    kept = state.tmp(_and(matched, f"NOT {samp}"))
+                    state.counters.append(("!" + label, kept))
+            state.dropped = state.tmp(f"({state.dropped} OR {drop})")
+            state.alive = state.tmp(_and(state.alive, f"NOT {drop}"))
 
         elif t == "extract":
             # reference: transform/textract/textract.go:72-92
-            src = "(" + state.env[step["key"]] + ")"
+            src = step["key"]
             pat, names = _named_groups_to_plain(step["pattern"])
             if not names:
                 raise ValueError("extract pattern needs named groups")
-            hit = _and(guard, d.rlike(src, pat))
-            for name, idx in names.items():
-                _apply(state, hit, name, d.regexp_extract(src, pat, idx))
+            hit = state.tmp(_and(guard, d.rlike(src, pat)))
+            state.emit(
+                {
+                    name: d.if_(hit, d.regexp_extract(src, pat, idx), name)
+                    for name, idx in names.items()
+                }
+            )
 
         elif t in ("extractHead", "extractTail"):
             # reference: transform/textractspecial/textractspecial.go:80-93
-            src_key = step["key"]
-            src = "(" + state.env[src_key] + ")"
-            regex = _compile_extract_special(step["pattern"], t == "extractHead")
-            hit = _and(guard, d.rlike(src, regex))
-            captured = d.trim_chars(d.regexp_extract(src, regex, 1), " \t")
-            _apply(state, hit, step["destKey"], captured)
-            _apply(state, hit, src_key, d.regexp_replace_all(src, regex, ""))
+            is_head = t == "extractHead"
+            src = step["key"]
+            regex, pre, suf = _compile_extract_special(step["pattern"], is_head)
+            # cheap literal precheck short-circuits the regex for the
+            # (majority of) non-matching rows — mirrors the reference's
+            # no-regex scanning design (DESIGN.md:83, stringextractor.go)
+            checks = []
+            if is_head and pre:
+                checks.append(d.starts_with(src, pre))
+            elif not is_head and suf:
+                checks.append(d.ends_with(src, suf))
+            elif pre:
+                checks.append(d.contains(src, pre))
+            hit = state.tmp(_and(guard, *checks, d.rlike(src, regex)))
+            # raw capture materialized once; the cut is pure substring
+            # arithmetic (matched region = prefix + raw + suffix at the
+            # anchored end), so the regex runs once—not three times.
+            raw = state.tmp(d.if_(hit, d.regexp_extract(src, regex, 1), "''"))
+            matched_len = f"({len(pre)} + {d.length(raw)} + {len(suf)})"
+            if is_head:
+                cut = d.substr(src, f"{matched_len} + 1", d.length(src))
+            else:
+                cut = d.substr(src, "1", f"{d.length(src)} - {matched_len}")
+            state.emit(
+                {
+                    step["destKey"]: d.if_(
+                        hit, d.trim_chars(raw, " \t"), step["destKey"]
+                    ),
+                    src: d.if_(hit, cut, src),
+                }
+            )
 
         elif t == "if":
             # reference: transform/tif/tif.go:49-54
-            cond = compile_match(d, step["match"], state.resolver())
-            compile_steps(state, step["then"], _and(guard, cond))
+            cond = compile_match(d, step["match"])
+            sub_guard = state.tmp(_and(guard, cond))
+            compile_steps(state, step["then"], sub_guard)
 
         elif t == "mapValue":
             # reference: transform/tmapvalue/tmapvalue.go:50-61
             k = step["key"]
-            col = "(" + state.env[k] + ")"
             default = d.lit(step.get("default", ""))
-            mapped = d.map_lookup(step["mapping"], col, default)
-            _apply(state, _and(guard, f"{d.length(col)} > 0"), k, mapped)
+            mapped = d.map_lookup(step["mapping"], k, default)
+            _guarded(state, _and(guard, f"{d.length(k)} > 0"), k, mapped)
 
         elif t == "parseTime":
             # reference: transform/tparsetime/tparsetime.go:53-67
             k = step["key"]
-            col = "(" + state.env[k] + ")"
-            parsed = d.try_to_timestamp(col)
-            ok = f"({parsed}) IS NOT NULL"
-            prev = state.ts_expr or (
+            parsed = state.tmp(d.try_to_timestamp(k))
+            ok = f"({parsed} IS NOT NULL)"
+            prev = state.ts_col or (
                 "ts" if "ts" in state.input_fields else "CAST(NULL AS TIMESTAMP)"
             )
-            state.ts_expr = d.if_(_and(guard, ok), parsed, prev)
+            state.ts_col = state.tmp(d.if_(_and(guard, ok), parsed, prev))
             if step.get("errorLabel"):
-                state.counters.append(
-                    (
-                        step["errorLabel"],
-                        _and(guard, state.alive, f"NOT {ok}", f"{d.length(col)} > 0"),
-                    )
+                err = state.tmp(
+                    _and(guard, state.alive, f"NOT {ok}", f"{d.length(k)} > 0")
                 )
+                state.counters.append((step["errorLabel"], err))
 
         elif t == "redactEmail":
             # reference: transform/tredactemail/redactemail.go:32-173
             k = step["key"]
-            col = "(" + state.env[k] + ")"
-            red = d.regexp_replace_all(col, REDACT_EMAIL_RE, REDACT_REPLACEMENT)
-            if step.get("metricLabel"):
-                state.counters.append(
-                    (
-                        step["metricLabel"],
-                        _and(guard, state.alive, f"({red}) != {col}"),
-                    )
+            # '@'-containment fast path: the reference prefilters exactly
+            # this way before scanning (tredactemail.go common case)
+            red = state.tmp(
+                d.if_(
+                    d.contains(k, "@"),
+                    d.regexp_replace_all(k, REDACT_EMAIL_RE, REDACT_REPLACEMENT),
+                    k,
                 )
-            _apply(state, guard, k, red)
+            )
+            if step.get("metricLabel"):
+                chg = state.tmp(_and(guard, state.alive, f"{red} != {k}"))
+                state.counters.append((step["metricLabel"], chg))
+            _guarded(state, guard, k, red)
 
         elif t == "replace":
             # reference: transform/treplace/treplace.go:57-64
             k = step["key"]
-            col = "(" + state.env[k] + ")"
             pat = step["pattern"]
             if isinstance(pat, tuple):  # ("regex", pattern) from YAML !!regex
                 pat = pat[1]
-            _apply(
+            _guarded(
                 state, guard, k,
-                d.regexp_replace_all(col, pat, step["replacement"]),
+                d.regexp_replace_all(k, pat, step["replacement"]),
             )
 
         elif t == "switch":
             # reference: transform/tswitch/tswitch.go:84-99 (first match
-            # wins, no fallthrough; all matches see the switch-entry env)
-            entry_resolver = state.resolver()
+            # wins, no fallthrough; all matches see the switch-entry state,
+            # so the case conditions are materialized BEFORE any child runs)
+            conds = [
+                state.tmp(compile_match(d, case["match"]))
+                for case in step["cases"]
+            ]
             not_prior = "TRUE"
-            for case in step["cases"]:
-                mcond = compile_match(d, case["match"], entry_resolver)
-                eff = _and(guard, not_prior, mcond)
+            for case, c in zip(step["cases"], conds):
+                eff = state.tmp(_and(guard, not_prior, c))
                 compile_steps(state, case["then"], eff)
-                not_prior = _and(not_prior, f"NOT {mcond}")
+                not_prior = _and(not_prior, f"NOT {c}")
 
         elif t == "truncate":
             # reference: transform/ttruncate/ttruncate.go:53-66
             k = step["key"]
-            col = "(" + state.env[k] + ")"
             max_len = int(step["maxLen"])
             suffix = step["suffix"]
-            cond = _and(guard, f"{d.length(col)} > {max_len + len(suffix)}")
-            cut = d.concat(d.substr(col, "1", str(max_len)), d.lit(suffix))
-            _apply(state, cond, k, cut)
+            cond = _and(guard, f"{d.length(k)} > {max_len + len(suffix)}")
+            cut = d.concat(d.substr(k, "1", str(max_len)), d.lit(suffix))
+            _guarded(state, cond, k, cut)
 
         elif t == "unescape":
             # reference: transform/tunescape/tunescape.go:47-63 — only if
             # the record was not already raw-multiline (unescaped flag)
             k = step["key"]
-            col = "(" + state.env[k] + ")"
-            expr = col
+            expr = k
             for search, repl in UNESCAPE_PAIRS:
                 expr = d.replace_literal(expr, search, repl)
             cond = _and(guard, f"NOT ({state.unescaped})")
-            _apply(state, cond, k, expr)
-            state.unescaped = (
+            _guarded(state, cond, k, expr)
+            state.unescaped = state.tmp(
                 "TRUE" if guard == "TRUE" else d.if_(guard, "TRUE", state.unescaped)
             )
 
@@ -333,18 +391,51 @@ def compile_chain(
 
     ``schema_fields`` mirrors the reference's declared-field rule
     (reference: base/logschema.go:17-21): every field must be declared;
-    undeclared-at-input fields start as ''.
+    fields absent from the input start as ''.
     """
-    env = {
-        f: (f if f in input_fields else "''") for f in schema_fields
-    }
-    state = _State(d=d, env=env, input_fields=frozenset(input_fields))
+    state = _State(
+        d=d, fields=list(schema_fields), input_fields=frozenset(input_fields)
+    )
+    init = {f: "''" for f in schema_fields if f not in input_fields}
+    state.emit(init)
     compile_steps(state, steps, "TRUE")
     return CompiledChain(
-        env=state.env,
-        alive=state.alive,
-        drop_cond=state.drop_cond,
+        layers=state.layers,
+        fields=list(schema_fields),
+        dropped_col=state.dropped,
         counters=state.counters,
-        ts_expr=state.ts_expr,
-        unescaped=state.unescaped,
+        ts_col=state.ts_col,
+        unescaped_col=state.unescaped,
+        helper_cols=state.helpers,
     )
+
+
+# ---------------------------------------------------------------------------
+# Appliers
+# ---------------------------------------------------------------------------
+
+def apply_chain_spark(df, chain: CompiledChain):
+    """Apply the layer stack to a Spark DataFrame (stacked withColumns)."""
+    from pyspark.sql import functions as F
+
+    for layer in chain.layers:
+        df = df.withColumns({k: F.expr(e) for k, e in layer.items()})
+    return df
+
+
+def chain_oracle_subquery(
+    chain: CompiledChain, source_sql: str, input_cols: list[str]
+) -> str:
+    """Nest the layer stack as DuckDB subqueries over ``source_sql``."""
+    sql = source_sql
+    present = set(input_cols)
+    for layer in chain.layers:
+        updates = ", ".join(f'{e} AS "{k}"' for k, e in layer.items())
+        replaced = [k for k in layer if k in present]
+        if replaced:
+            excluded = ", ".join(f'"{k}"' for k in replaced)
+            sql = f"SELECT * EXCLUDE ({excluded}), {updates} FROM ({sql})"
+        else:
+            sql = f"SELECT *, {updates} FROM ({sql})"
+        present |= set(layer)
+    return sql

@@ -20,7 +20,12 @@ from pyspark.sql import functions as F
 
 from ..functions.dialect import DUCKDB, SPARK, SqlDialect
 from ..functions.template import compile_template
-from ..operators.transforms import CompiledChain, compile_chain
+from ..operators.transforms import (
+    CompiledChain,
+    apply_chain_spark,
+    chain_oracle_subquery,
+    compile_chain,
+)
 from ..sources.parser import PARSED_FIELDS, parse_oracle_select, parse_transcripts
 from ..sources.transcripts import transcripts_df, transcripts_oracle_cte
 from .config import (
@@ -49,21 +54,25 @@ def label_col(label: str) -> str:
 
 
 def compile_pipeline(d: SqlDialect) -> tuple[CompiledChain, dict[str, str]]:
-    """Compile the full chain; return (chain, select items name→expr)."""
+    """Compile the full chain; return (chain, final select name→expr).
+
+    The final select runs over the last chain layer: schema fields keep
+    their own names, flag/ts helpers get stable public names, and the
+    orchestration tag template expands over the final field columns.
+    """
     chain = compile_chain(
         d, EXTRACTIONS + TRANSFORMATIONS, SCHEMA_FIELDS, set(INPUT_FIELDS)
     )
-    resolver = lambda n: "(" + chain.env[n] + ")"  # noqa: E731
-    tag = compile_template(ORCHESTRATION_TAG, d, resolver)
+    tag = compile_template(ORCHESTRATION_TAG, d)
     items: dict[str, str] = {c: c for c in PASSTHROUGH}
-    items["ts"] = chain.ts_expr or "ts"
+    items["ts"] = chain.ts_col or "ts"
     for f in SCHEMA_FIELDS:
-        items[f] = chain.env[f]
+        items[f] = f
     items["tag"] = tag
-    items["unescaped"] = chain.unescaped
-    items["dropped"] = chain.drop_cond
-    for label, cond in chain.counters:
-        items[label_col(label)] = cond
+    items["unescaped"] = chain.unescaped_col
+    items["dropped"] = chain.dropped_col
+    for label, cond_col in chain.counters:
+        items[label_col(label)] = cond_col
     return chain, items
 
 
@@ -71,20 +80,27 @@ def compile_pipeline(d: SqlDialect) -> tuple[CompiledChain, dict[str, str]]:
 # Spark (product) side
 # ---------------------------------------------------------------------------
 
+def transform_transcripts(transcripts: DataFrame) -> DataFrame:
+    """Parse + full transform chain over an already-loaded transcript table
+    (pre-drop-filter, with flag cols). This is the core operator: use it
+    directly when the transcripts are materialized (Iceberg/parquet).
+    """
+    parsed = parse_transcripts(transcripts)
+    chain, items = compile_pipeline(SPARK)
+    staged = apply_chain_spark(parsed.where("parse_ok"), chain)
+    return staged.select(*[F.expr(e).alias(k) for k, e in items.items()])
+
+
 def transformed_df(
     spark: SparkSession, sf_dir: str, explode: int = 1
 ) -> DataFrame:
-    """Parsed + fully transformed rows (pre-drop-filter, with flag cols).
+    """Derive transcripts from events, then parse + transform.
 
     Malformed input (no parsable header) is excluded here and counted by
     :func:`input_counters_df` — mirroring the reference's input counters
     (reference: base/loginputcounterset.go:12-55).
     """
-    parsed = parse_transcripts(transcripts_df(spark, sf_dir, explode))
-    _, items = compile_pipeline(SPARK)
-    return parsed.where("parse_ok").select(
-        *[F.expr(e).alias(k) for k, e in items.items()]
-    )
+    return transform_transcripts(transcripts_df(spark, sf_dir, explode))
 
 
 def passed_df(
@@ -120,26 +136,10 @@ def routed_counts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def metrics_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-keyset × metric-key counters — the reference's process metrics
-    (reference: base/logprocesscounterset.go:20-33,105-143).
+    """Per-keyset × metric-key counters (see operators/metrics.py)."""
+    from ..operators.metrics import process_metrics
 
-    One hash aggregate with partial (map-side) combine; label counters are
-    conditional sums computed in the same pass.
-    """
-    df = transformed_df(spark, sf_dir)
-    aggs = [
-        F.sum(F.when(~F.col("dropped"), 1).otherwise(0)).alias("passed_records"),
-        F.sum(F.when(~F.col("dropped"), F.col("raw_length")).otherwise(0)).alias("passed_bytes"),
-        F.sum(F.when(F.col("dropped"), 1).otherwise(0)).alias("dropped_records"),
-        F.sum(F.when(F.col("dropped"), F.col("raw_length")).otherwise(0)).alias("dropped_bytes"),
-    ]
-    for label in ALL_LABELS:
-        c = label_col(label)
-        aggs.append(F.sum(F.when(F.col(c), 1).otherwise(0)).alias(f"{c}_records"))
-        aggs.append(
-            F.sum(F.when(F.col(c), F.col("raw_length")).otherwise(0)).alias(f"{c}_bytes")
-        )
-    return df.groupBy(*ORCHESTRATION_KEYS, *METRIC_KEYS).agg(*aggs)
+    return process_metrics(transformed_df(spark, sf_dir))
 
 
 def input_counters_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,13 +163,16 @@ def _q(name: str) -> str:
 
 def transformed_oracle_cte(explode: int = 1) -> str:
     """WITH-chain producing the `transformed` relation in DuckDB."""
-    _, items = compile_pipeline(DUCKDB)
+    chain, items = compile_pipeline(DUCKDB)
+    staged = chain_oracle_subquery(
+        chain, "SELECT * FROM parsed", sorted(INPUT_FIELDS)
+    )
     sel = ", ".join(f"{e} AS {_q(k)}" for k, e in items.items())
     return (
         f"WITH transcripts AS ({transcripts_oracle_cte(explode)}), "
         f"parsed_all AS ({parse_oracle_select('transcripts')}), "
         f"parsed AS (SELECT * FROM parsed_all WHERE parse_ok), "
-        f"transformed AS (SELECT {sel} FROM parsed)"
+        f"transformed AS (SELECT {sel} FROM ({staged}))"
     )
 
 

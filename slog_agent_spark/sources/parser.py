@@ -2,8 +2,11 @@
 
 Re-expresses the reference's RFC5424 syslog parser
 (reference: input/syslogparser/syslogparser.go:105-178) as declarative
-Spark column expressions — one regexp per field, all JVM-side and fused
-by whole-stage codegen. No Python in the hot path.
+Spark column expressions fused by whole-stage codegen. The reference
+deliberately avoids regex in the hot path (hand-rolled scanners); we
+mirror that: ONE validity regex per row, then ``split_part`` token
+extraction and pure length arithmetic for the body — no per-field regex,
+no Python.
 
 Header grammar (as produced by sources/transcripts.py):
     <pri>1 <rfc3339> <host> <app>/<vhost> <pid> <source> - <body>
@@ -24,52 +27,51 @@ counters at base/loginputcounterset.go:12-55).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .transcripts import FACILITIES, ROLES
 
-# One regex, shared verbatim with the DuckDB oracle (RE2 ∩ Java subset:
-# no lookarounds, no backrefs). Group order: pri, time, host, app, pid,
-# source. The body is everything after " - " (stripped via regexp_replace
-# so real newlines in multiline bodies survive).
-HEADER_RE = r"^<(\d{1,3})>1 (\S+) (\S+) (\S+) (\S+) (\S+) - "
+# One validity regex (RE2 ∩ Java subset), shared with the DuckDB oracle.
+HEADER_RE = r"^<(\d{1,3})>1 \S+ \S+ \S+ \S+ \S+ - "
 
 PARSED_FIELDS = [
     "facility", "level", "time", "host", "app", "pid", "source",
     "extradata", "log",
 ]
 
-
-def _pool_lookup(pool: list[str], idx: Column) -> Column:
-    return F.element_at(F.array(*[F.lit(s) for s in pool]), idx + 1)
+# token index (1-based, space-separated) → field
+_TOKENS = {"time": 2, "host": 3, "app": 4, "pid": 5, "source": 6}
 
 
 def parse_transcripts(df: DataFrame) -> DataFrame:
     """Parse the header out of ``text`` into the reference's field set."""
-    pri = F.regexp_extract("text", HEADER_RE, 1)
-    parse_ok = F.col("text").rlike(HEADER_RE)
-    log_body = F.regexp_replace("text", HEADER_RE, "")
-    pri_i = pri.cast("int")
+    # startswith precheck short-circuits the validity regex (codegen AND)
+    ok = F.col("text").startswith("<") & F.col("text").rlike(HEADER_RE)
+    tok = {k: F.split_part(F.col("text"), F.lit(" "), F.lit(i)) for k, i in _TOKENS.items()}
+    t1 = F.split_part(F.col("text"), F.lit(" "), F.lit(1))
+    pri = t1.substr(F.lit(2), F.length(t1) - F.lit(3)).cast("int")
+    # body offset: 6 tokens + 6 spaces + "- " (2 chars)
+    hdr_len = (
+        F.length(t1) + sum(F.length(tok[k]) for k in _TOKENS) + F.lit(8)
+    )
+    body = F.col("text").substr(hdr_len + 1, F.length("text"))
+    roles_arr = F.array(*[F.lit(s) for s in ROLES])
+    fac_arr = F.array(*[F.lit(s) for s in FACILITIES])
     return df.select(
         "conv_id", "turn_idx", "role", "tool", "ts",
-        parse_ok.alias("parse_ok"),
-        F.when(parse_ok, _pool_lookup(FACILITIES, (pri_i / 8).cast("int")))
+        ok.alias("parse_ok"),
+        F.when(ok, F.element_at(fac_arr, (pri / 8).cast("int") + 1))
         .otherwise(F.lit("")).alias("facility"),
-        F.when(parse_ok, _pool_lookup(ROLES, F.pmod(pri_i, F.lit(8))))
+        F.when(ok, F.element_at(roles_arr, F.pmod(pri, F.lit(8)) + 1))
         .otherwise(F.lit("")).alias("level"),
-        F.when(parse_ok, F.regexp_extract("text", HEADER_RE, 2))
-        .otherwise(F.lit("")).alias("time"),
-        F.when(parse_ok, F.regexp_extract("text", HEADER_RE, 3))
-        .otherwise(F.lit("")).alias("host"),
-        F.when(parse_ok, F.regexp_extract("text", HEADER_RE, 4))
-        .otherwise(F.lit("")).alias("app"),
-        F.when(parse_ok, F.regexp_extract("text", HEADER_RE, 5))
-        .otherwise(F.lit("")).alias("pid"),
-        F.when(parse_ok, F.regexp_extract("text", HEADER_RE, 6))
-        .otherwise(F.lit("")).alias("source"),
+        F.when(ok, tok["time"]).otherwise(F.lit("")).alias("time"),
+        F.when(ok, tok["host"]).otherwise(F.lit("")).alias("host"),
+        F.when(ok, tok["app"]).otherwise(F.lit("")).alias("app"),
+        F.when(ok, tok["pid"]).otherwise(F.lit("")).alias("pid"),
+        F.when(ok, tok["source"]).otherwise(F.lit("")).alias("source"),
         F.lit("").alias("extradata"),
-        F.when(parse_ok, log_body).otherwise(F.col("text")).alias("log"),
+        F.when(ok, body).otherwise(F.col("text")).alias("log"),
         F.col("text").contains("\n").alias("unescaped"),
         F.octet_length("text").alias("raw_length"),
     )
@@ -79,25 +81,28 @@ def parse_oracle_select(transcripts_rel: str = "transcripts") -> str:
     """DuckDB SELECT mirroring :func:`parse_transcripts` (for oracles)."""
     fac = ", ".join(f"'{s}'" for s in FACILITIES)
     lvl = ", ".join(f"'{s}'" for s in ROLES)
-    # DuckDB regexp_extract group syntax matches; CAST('' AS INT) would
-    # error, so guard with parse_ok CASE like the Spark side.
-    re = HEADER_RE.replace("'", "''")
+    re = HEADER_RE
+    toks = {k: f"split_part(text, ' ', {i})" for k, i in _TOKENS.items()}
+    t1 = "split_part(text, ' ', 1)"
+    pri = f"CAST(substr({t1}, 2, length({t1}) - 3) AS INT)"
+    hdr_len = (
+        f"length({t1}) + "
+        + " + ".join(f"length({toks[k]})" for k in _TOKENS)
+        + " + 8"
+    )
+    ok = f"(starts_with(text, '<') AND regexp_matches(text, '{re}'))"
     return f"""
     SELECT conv_id, turn_idx, role, tool, ts,
-      regexp_matches(text, '{re}') AS parse_ok,
-      CASE WHEN regexp_matches(text, '{re}')
-           THEN [{fac}][CAST(regexp_extract(text, '{re}', 1) AS INT) // 8 + 1]
-           ELSE '' END AS facility,
-      CASE WHEN regexp_matches(text, '{re}')
-           THEN [{lvl}][CAST(regexp_extract(text, '{re}', 1) AS INT) % 8 + 1]
-           ELSE '' END AS level,
-      CASE WHEN regexp_matches(text, '{re}') THEN regexp_extract(text, '{re}', 2) ELSE '' END AS time,
-      CASE WHEN regexp_matches(text, '{re}') THEN regexp_extract(text, '{re}', 3) ELSE '' END AS host,
-      CASE WHEN regexp_matches(text, '{re}') THEN regexp_extract(text, '{re}', 4) ELSE '' END AS app,
-      CASE WHEN regexp_matches(text, '{re}') THEN regexp_extract(text, '{re}', 5) ELSE '' END AS pid,
-      CASE WHEN regexp_matches(text, '{re}') THEN regexp_extract(text, '{re}', 6) ELSE '' END AS source,
+      {ok} AS parse_ok,
+      CASE WHEN {ok} THEN [{fac}][({pri}) // 8 + 1] ELSE '' END AS facility,
+      CASE WHEN {ok} THEN [{lvl}][({pri}) % 8 + 1] ELSE '' END AS level,
+      CASE WHEN {ok} THEN {toks['time']} ELSE '' END AS time,
+      CASE WHEN {ok} THEN {toks['host']} ELSE '' END AS host,
+      CASE WHEN {ok} THEN {toks['app']} ELSE '' END AS app,
+      CASE WHEN {ok} THEN {toks['pid']} ELSE '' END AS pid,
+      CASE WHEN {ok} THEN {toks['source']} ELSE '' END AS source,
       '' AS extradata,
-      CASE WHEN regexp_matches(text, '{re}') THEN regexp_replace(text, '{re}', '') ELSE text END AS log,
+      CASE WHEN {ok} THEN substr(text, ({hdr_len}) + 1) ELSE text END AS log,
       contains(text, chr(10)) AS unescaped,
       octet_length(encode(text)) AS raw_length
     FROM {transcripts_rel}

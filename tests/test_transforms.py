@@ -9,7 +9,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from slog_agent_spark.functions.dialect import DUCKDB, SPARK
-from slog_agent_spark.operators.transforms import compile_chain
+from slog_agent_spark.operators.transforms import (
+    apply_chain_spark,
+    chain_oracle_subquery,
+    compile_chain,
+)
 
 BASE = {"conv_id": "c1", "turn_idx": 0, "unescaped": False}
 
@@ -23,19 +27,20 @@ def run_chain(spark, duck, steps, schema_fields, rows):
     results = {}
     for eng, d in (("spark", SPARK), ("duckdb", DUCKDB)):
         chain = compile_chain(d, steps, schema_fields, input_fields)
-        selects = {f: chain.env[f] for f in schema_fields}
-        selects["_dropped"] = chain.drop_cond
-        for label, cond in chain.counters:
+        selects = {f: f for f in schema_fields}
+        selects["_dropped"] = chain.dropped_col
+        for label, cond_col in chain.counters:
             safe = label.replace("!", "not_").replace("-", "_")
-            selects[f"_lbl_{safe}"] = cond
-        if chain.ts_expr:
-            selects["_ts"] = chain.ts_expr
+            selects[f"_lbl_{safe}"] = cond_col
+        if chain.ts_col:
+            selects["_ts"] = chain.ts_col
 
         if eng == "spark":
             df = spark.createDataFrame(
                 [tuple(r.values()) for r in full_rows], list(full_rows[0].keys())
             )
-            out = df.select(
+            staged = apply_chain_spark(df, chain)
+            out = staged.select(
                 *out_cols, *[F.expr(e).alias(k) for k, e in selects.items()]
             )
             results[eng] = [r.asDict() for r in out.orderBy("turn_idx").collect()]
@@ -45,10 +50,12 @@ def run_chain(spark, duck, steps, schema_fields, rows):
                 "(" + ", ".join(_duck_lit(r[c]) for c in cols) + ")"
                 for r in full_rows
             )
-            sel = ", ".join(f"{e} AS {k}" for k, e in selects.items())
+            src = f"SELECT * FROM (VALUES {values}) AS t({', '.join(cols)})"
+            staged = chain_oracle_subquery(chain, src, cols)
+            sel = ", ".join(f'{e} AS "{k}"' for k, e in selects.items())
             sql = (
                 f"SELECT {', '.join(out_cols)}, {sel} "
-                f"FROM (VALUES {values}) AS t({', '.join(cols)}) ORDER BY turn_idx"
+                f"FROM ({staged}) ORDER BY turn_idx"
             )
             cur = duck.execute(sql)
             names = [c[0] for c in cur.description]
