@@ -39,7 +39,6 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from slog_agent_spark.operators.metrics import process_metrics  # noqa: E402
 from slog_agent_spark.plans import pipeline as P  # noqa: E402
-from slog_agent_spark.plans.config import ORCHESTRATION_KEYS  # noqa: E402
 from slog_agent_spark.session import build_session  # noqa: E402
 from slog_agent_spark.sources.parser import parse_transcripts  # noqa: E402
 from slog_agent_spark.sources.transcripts import transcripts_df  # noqa: E402
@@ -72,17 +71,19 @@ def run_bench(sf_dir: str, cpus: int, explode: int) -> dict:
             .agg(F.sum(F.crc32("log")), F.sum("raw_length"))
             .collect(),
         )
-        # full chain, null sink: checksums force every column expression
+        # full chain, null sink: conditional-agg checksums force every
+        # column expression without a Filter node (a filter over the
+        # layered projection gets pushdown-inlined and re-runs the chain)
+        keep = ~F.col("dropped")
         timed(
             "pipeline_null_sink",
             lambda: P.transform_transcripts(transcripts)
-            .where("NOT dropped")
             .agg(
-                F.count("*"),
-                F.sum(F.crc32("log")),
-                F.sum(F.crc32("tag")),
-                F.sum(F.crc32("task")),
-                F.sum("raw_length"),
+                F.sum(F.when(keep, 1)),
+                F.sum(F.when(keep, F.crc32("log"))),
+                F.sum(F.when(keep, F.crc32("tag"))),
+                F.sum(F.when(keep, F.crc32("task"))),
+                F.sum(F.when(keep, F.col("raw_length"))),
             )
             .collect(),
         )
@@ -91,16 +92,13 @@ def run_bench(sf_dir: str, cpus: int, explode: int) -> dict:
             "route_aggregate",
             lambda: process_metrics(P.transform_transcripts(transcripts)).collect(),
         )
-        # real fan-out sink write, partitioned by tag (per-keyset sinks)
-        out_dir = f"{work}/sink"
+        # the full fan-out job: persist once → metrics + salted,
+        # turn-ordered, tag-partitioned sink write
         timed(
-            "sink_write_partitioned",
-            lambda: P.transform_transcripts(transcripts)
-            .where("NOT dropped")
-            .repartition(*[F.col(k) for k in ORCHESTRATION_KEYS])
-            .write.mode("overwrite")
-            .partitionBy("tag")
-            .parquet(out_dir),
+            "fanout_metrics_and_sinks",
+            lambda: P.run_fanout(
+                P.transform_transcripts(transcripts), f"{work}/sink"
+            ),
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -122,6 +122,45 @@ def passed_df(
     return df.repartition(*keys)
 
 
+def run_fanout(
+    transformed: DataFrame,
+    sink_dir: str,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """The canonical multi-consumer job: metrics + per-sink writes.
+
+    The transformed DF is persisted once (SURVEY.md §4: "cache the
+    transformed DF once, then filter-write per sink") — this matters
+    beyond re-scan avoidance: a Filter over the 50-layer projection gets
+    predicate-pushdown-inlined by Catalyst into a multi-KB expression that
+    re-runs every regex (measured 3× slowdown); filtering the materialized
+    cache reads a boolean column instead.
+
+    Returns the collected metrics DataFrame; sink files land under
+    ``sink_dir`` partitioned by tag (per-keyset sinks, reference:
+    orchestrate/obykeyset/orchestrator.go:106-119).
+    """
+    from ..operators.metrics import process_metrics
+
+    transformed = transformed.persist()
+    try:
+        metrics = process_metrics(transformed)
+        metrics.count()  # materialize cache + metrics together
+        keys = [F.col(k) for k in ORCHESTRATION_KEYS]
+        salt = F.pmod(F.xxhash64("conv_id"), F.lit(max(salt_buckets, 1)))
+        (
+            transformed.where("NOT dropped")
+            .repartition(*keys, salt)
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .write.mode("overwrite")
+            .partitionBy("tag")
+            .parquet(sink_dir)
+        )
+        return metrics
+    finally:
+        transformed.unpersist()
+
+
 def routed_counts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sink routed-row counts (the north rule's core invariant)."""
     return (
