@@ -61,6 +61,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_input_counters": lambda spark, sf: _cast_counts_long(
             P.input_counters_df(spark, sf)
         ),
+        "sink_serialized_events": lambda spark, sf: P.serialized_events_df(spark, sf),
+        "sink_output_counters": lambda spark, sf: _cast_counts_long(
+            P.output_counters_df(spark, sf)
+        ),
     }
 
 
@@ -79,4 +83,6 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_routed_counts": P.routed_counts_oracle_sql(),
         "pipeline_metrics": P.metrics_oracle_sql(),
         "pipeline_input_counters": P.input_counters_oracle_sql(),
+        "sink_serialized_events": P.serialized_events_oracle_sql(),
+        "sink_output_counters": P.output_counters_oracle_sql(),
     }

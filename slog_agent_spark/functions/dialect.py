@@ -143,6 +143,16 @@ class SqlDialect:
             return f"CAST(conv(substr({hexcol}, 1, 15), 16, 10) AS BIGINT)"
         return f"CAST(('0x' || substr({hexcol}, 1, 15)) AS BIGINT)"
 
+    def int_div(self, a: str, b: str) -> str:
+        op = "div" if self.name == self.SPARK else "//"
+        return f"(({a}) {op} ({b}))"
+
+    def unix_micros(self, col: str) -> str:
+        """Timestamp column → microseconds since epoch (BIGINT)."""
+        if self.name == self.SPARK:
+            return f"unix_micros(CAST({col} AS TIMESTAMP))"
+        return f"epoch_us({col})"
+
     # -- timestamps ----------------------------------------------------------
     def try_to_timestamp(self, col: str) -> str:
         """Parse RFC3339-ish 'yyyy-MM-ddTHH:mm:ssZ'; NULL on failure."""

@@ -181,6 +181,59 @@ def metrics_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return process_metrics(transformed_df(spark, sf_dir))
 
 
+def serialized_events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row serialized events for BOTH configured outputs.
+
+    reference: the per-pipeline output loop serializing each record for
+    every output pair (base/bsupport/logprocessingworker.go:49-105).
+    """
+    from ..sinks.serializers import datadog_event, fluentd_event
+    from .config import OUTPUTS
+
+    df = transformed_df(spark, sf_dir).where("NOT dropped")
+    fl = fluentd_event(SPARK, OUTPUTS["customFluentd"])
+    dd = datadog_event(SPARK, OUTPUTS["datadogAPI"])
+    return df.select(
+        "conv_id", "turn_idx", "tag",
+        F.expr(fl).alias("fluentd_event"),
+        F.expr(dd).alias("datadog_event"),
+    )
+
+
+def serialized_events_oracle_sql() -> str:
+    from ..sinks.serializers import datadog_event, fluentd_event
+    from .config import OUTPUTS
+
+    fl = fluentd_event(DUCKDB, OUTPUTS["customFluentd"])
+    dd = datadog_event(DUCKDB, OUTPUTS["datadogAPI"])
+    return (
+        transformed_oracle_cte()
+        + f""" SELECT conv_id, turn_idx, tag,
+            {fl} AS fluentd_event, {dd} AS datadog_event
+          FROM transformed WHERE NOT dropped"""
+    )
+
+
+def output_counters_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-output, per-tag serialized byte/record counters
+    (reference: base/logprocesscounterset.go:146-154)."""
+    ev = serialized_events_df(spark, sf_dir)
+    return ev.groupBy("tag").agg(
+        F.count("*").alias("serialized_records"),
+        F.sum(F.length("fluentd_event")).alias("fluentd_bytes"),
+        F.sum(F.length("datadog_event")).alias("datadog_bytes"),
+    )
+
+
+def output_counters_oracle_sql() -> str:
+    return (
+        f"WITH ev AS ({serialized_events_oracle_sql()}) "
+        "SELECT tag, count(*) AS serialized_records, "
+        "sum(length(fluentd_event)) AS fluentd_bytes, "
+        "sum(length(datadog_event)) AS datadog_bytes FROM ev GROUP BY tag"
+    )
+
+
 def input_counters_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Input-stage counters: parsed vs malformed records + bytes."""
     parsed = parse_transcripts(transcripts_df(spark, sf_dir))
