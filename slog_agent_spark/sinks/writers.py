@@ -1,0 +1,54 @@
+"""Table IO abstraction: Iceberg when available, parquet otherwise.
+
+The design targets Iceberg (atomic per-partition commits = the
+reference's chunk-ACK semantics, SURVEY.md §2.9), but this sandbox has no
+Iceberg runtime jar, so the same API transparently falls back to
+partitioned parquet + atomic manifest files (plans/checkpoint.py provides
+the commit protocol on top).
+
+Set ``SLOG_ICEBERG_CATALOG`` (e.g. "spark_catalog" with the Iceberg
+extension configured on the cluster) to route through ``writeTo``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_catalog() -> str | None:
+    return os.environ.get("SLOG_ICEBERG_CATALOG") or None
+
+
+def write_table(
+    df: DataFrame,
+    location: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a table; ``location`` is a path (parquet) or catalog table
+    name (iceberg) depending on availability."""
+    cat = iceberg_catalog()
+    if cat:
+        writer = df.writeTo(f"{cat}.{location}")
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        if mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            writer.append()
+        return
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(location)
+
+
+def read_table(spark: SparkSession, location: str) -> DataFrame:
+    cat = iceberg_catalog()
+    if cat:
+        return spark.read.table(f"{cat}.{location}")
+    return spark.read.parquet(location)
