@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from slog_agent_spark.plans import corpus as C  # noqa: E402
 from slog_agent_spark.plans import pipeline as P  # noqa: E402
 from slog_agent_spark.sources.parser import (  # noqa: E402
     parse_oracle_select,
@@ -65,6 +66,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_output_counters": lambda spark, sf: _cast_counts_long(
             P.output_counters_df(spark, sf)
         ),
+        "doc_token_count": lambda spark, sf: _cast_counts_long(
+            C.token_count_query(spark, sf)
+        ),
+        "doc_quality_score": C.quality_query,
+        "doc_language_id": lambda spark, sf: _cast_counts_long(
+            C.langid_query(spark, sf)
+        ),
+        "doc_fingerprint": C.fingerprint_query,
+        "dedup_exact": lambda spark, sf: _cast_counts_long(
+            C.exact_dedup_query(spark, sf)
+        ),
+        "dedup_minhash_lsh": C.minhash_lsh_query,
+        "dedup_simhash": lambda spark, sf: _cast_counts_long(
+            C.simhash_query(spark, sf)
+        ),
+        "ann_topk_bruteforce": C.ann_bruteforce_query,
+        "ann_topk_ivf": C.ann_ivf_query,
+        "embedding_neardup_ivf": C.emb_neardup_query,
     }
 
 
@@ -85,4 +104,14 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_input_counters": P.input_counters_oracle_sql(),
         "sink_serialized_events": P.serialized_events_oracle_sql(),
         "sink_output_counters": P.output_counters_oracle_sql(),
+        "doc_token_count": C.token_count_oracle(),
+        "doc_quality_score": C.quality_oracle(),
+        "doc_language_id": C.langid_oracle(),
+        "doc_fingerprint": C.fingerprint_oracle(),
+        "dedup_exact": C.exact_dedup_oracle(),
+        "dedup_minhash_lsh": C.minhash_lsh_oracle(),
+        "dedup_simhash": C.simhash_oracle(),
+        "ann_topk_bruteforce": C.ann_bruteforce_oracle(),
+        "ann_topk_ivf": C.ann_ivf_oracle(),
+        "embedding_neardup_ivf": C.emb_neardup_oracle(),
     }

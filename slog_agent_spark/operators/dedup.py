@@ -1,0 +1,162 @@
+"""Deduplication operators over the `documents` corpus.
+
+The 100TB-pipeline staples: exact dedup, MinHash+LSH, n-gram Jaccard
+verification, SimHash. Everything is expressed as one or two shuffles
+(hash-groupBy / band-key self-join) — the shapes that survive a 1000×
+scale-up:
+
+- exact: one groupBy on a content hash (map-side partial agg).
+- MinHash+LSH: signatures are per-row projections (no shuffle); the
+  candidate join shuffles on the BAND KEY, so cost scales with bucket
+  collision counts, never |docs|². Verification (true Jaccard) runs only
+  on candidates.
+- SimHash: per-row projection + groupBy on the 16-bit key.
+
+All emitted in both dialects (portable md5-based hashing) → every
+operator is DuckDB-oracle-checked.
+"""
+
+from __future__ import annotations
+
+from ..functions.dialect import SqlDialect
+from .textops import tokens_expr
+
+MINHASH_K = 12          # signature size
+LSH_BANDS = 4           # bands of 3 rows each
+JACCARD_THRESHOLD = 0.35
+SIMHASH_BITS = 16
+
+
+def _size(d: SqlDialect, arr: str) -> str:
+    return f"size({arr})" if d.name == d.SPARK else f"len({arr})"
+
+
+def shingles_expr(d: SqlDialect, text_col: str = "text") -> str:
+    """3-token shingles, hashed (md5) — the dedup unit for MinHash/Jaccard."""
+    toks = tokens_expr(d, text_col)
+    n = _size(d, toks)
+    if d.name == d.SPARK:
+        return (
+            f"transform(sequence(1, greatest({n} - 2, 1)), "
+            f"i -> md5(array_join(slice({toks}, i, 3), ' ')))"
+        )
+    return (
+        f"list_transform(generate_series(1, greatest({n} - 2, 1)), "
+        f"i -> md5(array_to_string({toks}[i:i+2], ' ')))"
+    )
+
+
+def minhash_items(d: SqlDialect, text_col: str = "text") -> dict[str, str]:
+    """MinHash signature: k independent min-hashes over the shingle set."""
+    sh = shingles_expr(d, text_col)
+    items: dict[str, str] = {}
+    for i in range(MINHASH_K):
+        if d.name == d.SPARK:
+            items[f"mh{i}"] = (
+                f"array_min(transform({sh}, x -> md5(concat(x, 'seed{i}'))))"
+            )
+        else:
+            items[f"mh{i}"] = (
+                f"list_min(list_transform({sh}, x -> md5(x || 'seed{i}')))"
+            )
+    return items
+
+
+def band_exprs(d: SqlDialect) -> dict[str, str]:
+    """LSH band keys from an already-projected signature (mh0..mhK-1)."""
+    rows = MINHASH_K // LSH_BANDS
+    out = {}
+    for b in range(LSH_BANDS):
+        cols = [f"mh{b * rows + r}" for r in range(rows)]
+        out[f"band{b}"] = d.md5(d.concat(*cols))
+    return out
+
+
+def exact_dedup_sql(d: SqlDialect, docs_rel: str = "documents") -> str:
+    """Exact duplicate groups by content hash (reference-style hash-groupBy)."""
+    return f"""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS group_size
+    FROM {docs_rel}
+    GROUP BY md5(text)
+    """
+
+
+def jaccard_expr(d: SqlDialect, a: str, b: str) -> str:
+    """Exact Jaccard over two shingle-set columns."""
+    if d.name == d.SPARK:
+        inter = f"size(array_intersect({a}, {b}))"
+        union = f"size(array_union({a}, {b}))"
+    else:
+        inter = f"len(list_intersect({a}, {b}))"
+        union = f"len(list_distinct(list_concat({a}, {b})))"
+    return f"round(CAST({inter} AS DOUBLE) / greatest({union}, 1), 6)"
+
+
+def minhash_lsh_pairs_sql(d: SqlDialect, docs_rel: str = "documents") -> str:
+    """Candidate pairs from LSH band buckets, verified by true Jaccard.
+
+    Scale shape: signature projection → explode to (band_key, doc) →
+    self-join on band_key (the only shuffle) → distinct pairs → verify.
+    """
+    mh = minhash_items(d)
+    mh_sel = ", ".join(f"{e} AS {k}" for k, e in mh.items())
+    bands = band_exprs(d)
+    band_sel = ", ".join(f"{e} AS {k}" for k, e in bands.items())
+    sh = shingles_expr(d)
+    dedup_shingles = (
+        f"array_distinct({sh})" if d.name == d.SPARK else f"list_distinct({sh})"
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, shingle_set, '{b}' AS band_id, {b} AS band_key FROM sigs"
+        for b in bands
+    )
+    jac = jaccard_expr(d, "a.shingle_set", "b.shingle_set")
+    return f"""
+    WITH sig0 AS (
+      SELECT doc_id, {dedup_shingles} AS shingle_set, {mh_sel} FROM {docs_rel}
+    ),
+    sigs AS (SELECT doc_id, shingle_set, {band_sel} FROM sig0),
+    banded AS ({band_rows}),
+    candidates AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, {jac} AS jaccard
+      FROM candidates c
+      JOIN sig0 a ON a.doc_id = c.doc_a
+      JOIN sig0 b ON b.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM verified
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+    """
+
+
+def simhash_items(d: SqlDialect, text_col: str = "text") -> dict[str, str]:
+    """16-bit SimHash over shingle hashes (majority vote per bit)."""
+    sh = shingles_expr(d, text_col)
+    n = _size(d, sh)
+    bit_terms = []
+    for j in range(SIMHASH_BITS):
+        # bit j := high bit of hex digit j of each shingle's md5
+        pred = f"substr(x, {j + 1}, 1) IN ('8','9','a','b','c','d','e','f')"
+        if d.name == d.SPARK:
+            cnt = f"size(filter({sh}, x -> {pred}))"
+        else:
+            cnt = f"len(list_filter({sh}, x -> {pred}))"
+        bit_terms.append(f"(CASE WHEN 2 * ({cnt}) > {n} THEN {1 << j} ELSE 0 END)")
+    return {"simhash16": "(" + " + ".join(bit_terms) + ")"}
+
+
+def simhash_groups_sql(d: SqlDialect, docs_rel: str = "documents") -> str:
+    """Near-dup groups: documents sharing an identical 16-bit SimHash."""
+    sim = simhash_items(d)["simhash16"]
+    return f"""
+    WITH s AS (SELECT doc_id, {sim} AS simhash16 FROM {docs_rel})
+    SELECT simhash16, count(*) AS group_size, min(doc_id) AS keep_doc_id
+    FROM s GROUP BY simhash16
+    """

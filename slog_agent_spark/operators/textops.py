@@ -1,0 +1,137 @@
+"""Text-analysis operators for training-data pipelines over `documents`.
+
+Beyond the reference's operator set, a 100TB transcript/corpus engine
+needs corpus hygiene primitives: token counting, quality scoring,
+language-ID, and document fingerprinting. All are pure column
+expressions (JVM, codegen) emitted for both dialects so every operator
+is DuckDB-oracle-checked.
+
+Dialect-shared helpers keep the two engines semantically identical:
+tokens from a single regexp split, counts via list/array ops.
+"""
+
+from __future__ import annotations
+
+from ..functions.dialect import SqlDialect
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+# BPE-ish estimate: ~4 chars/token, matching common tokenizer folklore
+BPE_CHARS_PER_TOKEN = 4
+
+STOPWORDS = ["the", "a", "of", "and", "to"]
+
+# marker-word scoring pools for the n-gram/keyword language heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and"],
+    "de": ["der", "und", "nicht"],
+    "fr": ["le", "et", "pas"],
+    "es": ["el", "y", "no"],
+    "zh": ["de", "shi", "bu"],
+}
+
+
+def tokens_expr(d: SqlDialect, col: str) -> str:
+    if d.name == d.SPARK:
+        return f"split(lower({col}), '{TOKEN_SPLIT_RE}')"
+    return f"regexp_split_to_array(lower({col}), '{TOKEN_SPLIT_RE}')"
+
+
+def _size(d: SqlDialect, arr: str) -> str:
+    return f"size({arr})" if d.name == d.SPARK else f"len({arr})"
+
+
+def _filter_count(d: SqlDialect, arr: str, lambda_body: str) -> str:
+    """Count of elements matching a lambda predicate over variable x."""
+    if d.name == d.SPARK:
+        return f"size(filter({arr}, x -> {lambda_body}))"
+    return f"len(list_filter({arr}, x -> {lambda_body}))"
+
+
+def _array_distinct(d: SqlDialect, arr: str) -> str:
+    return f"array_distinct({arr})" if d.name == d.SPARK else f"list_distinct({arr})"
+
+
+def token_count_items(d: SqlDialect, text_col: str = "text") -> dict[str, str]:
+    """Whitespace token count + BPE-ish subword estimate."""
+    toks = tokens_expr(d, text_col)
+    return {
+        "n_tokens": _size(d, toks),
+        "n_distinct_tokens": _size(d, _array_distinct(d, toks)),
+        "n_chars": d.length(text_col),
+        "bpe_token_estimate": d.int_div(
+            f"{d.length(text_col)} + {BPE_CHARS_PER_TOKEN - 1}",
+            str(BPE_CHARS_PER_TOKEN),
+        ),
+    }
+
+
+def quality_items(d: SqlDialect, text_col: str = "text") -> dict[str, str]:
+    """Quality heuristics: length, stopword ratio, lexical diversity,
+    punctuation density — the standard pretraining-corpus filters."""
+    toks = tokens_expr(d, text_col)
+    n = f"greatest({_size(d, toks)}, 1)"
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    stop_cnt = _filter_count(d, toks, f"x IN ({stop_list})")
+    distinct_ratio = f"CAST({_size(d, _array_distinct(d, toks))} AS DOUBLE) / {n}"
+    stop_ratio = f"CAST({stop_cnt} AS DOUBLE) / {n}"
+    alnum = d.regexp_replace_all(text_col, "[a-zA-Z0-9 ]", "")
+    punct_ratio = (
+        f"CAST({d.length(alnum)} AS DOUBLE) / greatest({d.length(text_col)}, 1)"
+    )
+    mean_tok_len = (
+        f"CAST({d.length(d.regexp_replace_all(text_col, ' ', ''))} AS DOUBLE) / {n}"
+    )
+    return {
+        "stopword_ratio": f"round({stop_ratio}, 6)",
+        "distinct_ratio": f"round({distinct_ratio}, 6)",
+        "punct_ratio": f"round({punct_ratio}, 6)",
+        "mean_token_len": f"round({mean_tok_len}, 6)",
+        "quality_score": (
+            f"round(least(1.0, CAST({_size(d, toks)} AS DOUBLE) / 100)"
+            f" * (1.0 - {punct_ratio}) * least(1.0, 4 * {stop_ratio} + 0.5), 6)"
+        ),
+    }
+
+
+def langid_items(d: SqlDialect, text_col: str = "text") -> dict[str, str]:
+    """Keyword/n-gram language-ID heuristic: argmax of marker-word hits."""
+    toks = tokens_expr(d, text_col)
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        scores[lang] = _filter_count(d, toks, f"x IN ({lst})")
+    # deterministic argmax: iterate in fixed order, strictly-greater wins
+    langs = list(LANG_MARKERS)
+    pred = f"'{langs[0]}'"
+    best = scores[langs[0]]
+    for lang in langs[1:]:
+        pred = d.if_(f"{scores[lang]} > ({best})", f"'{lang}'", pred)
+        best = f"greatest({best}, {scores[lang]})"
+    out = {f"score_{lang}": expr for lang, expr in scores.items()}
+    out["lang_pred"] = pred
+    return out
+
+
+def fingerprint_items(d: SqlDialect, text_col: str = "text") -> dict[str, str]:
+    """Winnowing-style fingerprint: min hash over sliding 8-token windows
+    + a whole-document content hash."""
+    toks = tokens_expr(d, text_col)
+    n = _size(d, toks)
+    if d.name == d.SPARK:
+        windows = (
+            f"transform(sequence(1, greatest({n} - 7, 1)), "
+            f"i -> md5(array_join(slice({toks}, i, 8), ' ')))"
+        )
+        win_min = f"array_min({windows})"
+        joined = f"array_join({toks}, ' ')"
+    else:
+        windows = (
+            f"list_transform(generate_series(1, greatest({n} - 7, 1)), "
+            f"i -> md5(array_to_string({toks}[i:i+7], ' ')))"
+        )
+        win_min = f"list_min({windows})"
+        joined = f"array_to_string({toks}, ' ')"
+    return {
+        "content_hash": d.md5(joined),
+        "winnow_fingerprint": win_min,
+    }

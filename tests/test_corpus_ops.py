@@ -1,0 +1,55 @@
+"""Corpus operators (dedup / similarity / text analysis): parity + semantics."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from conftest import SF_DIR, assert_df_equals_oracle
+
+from slog_agent_spark.plans import corpus as C
+
+PAIRS = [
+    ("token_count", C.token_count_query, C.token_count_oracle),
+    ("quality", C.quality_query, C.quality_oracle),
+    ("langid", C.langid_query, C.langid_oracle),
+    ("fingerprint", C.fingerprint_query, C.fingerprint_oracle),
+    ("exact_dedup", C.exact_dedup_query, C.exact_dedup_oracle),
+    ("minhash_lsh", C.minhash_lsh_query, C.minhash_lsh_oracle),
+    ("simhash", C.simhash_query, C.simhash_oracle),
+    ("ann_bruteforce", C.ann_bruteforce_query, C.ann_bruteforce_oracle),
+    ("ann_ivf", C.ann_ivf_query, C.ann_ivf_oracle),
+    ("emb_neardup", C.emb_neardup_query, C.emb_neardup_oracle),
+]
+
+
+@pytest.mark.parametrize("name,query,oracle", PAIRS, ids=[p[0] for p in PAIRS])
+def test_parity(spark, duck, name, query, oracle):
+    df = query(spark, SF_DIR)
+    # normalize integer widths for comparison
+    from pyspark.sql import functions as F
+
+    for c, t in df.dtypes:
+        if t in ("int", "bigint"):
+            df = df.withColumn(c, F.col(c).cast("long"))
+    assert_df_equals_oracle(df, duck, oracle())
+
+
+def test_minhash_finds_near_duplicates(spark):
+    """LSH candidates verified by true Jaccard must be real near-dups."""
+    rows = C.minhash_lsh_query(spark, SF_DIR).collect()
+    assert rows, "corpus should contain near-duplicate documents"
+    assert all(r["jaccard"] >= 0.35 for r in rows)
+    assert all(r["doc_a"] < r["doc_b"] for r in rows)
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    exact = {r["vec_id"] for r in C.ann_bruteforce_query(spark, SF_DIR).collect()}
+    approx = {r["vec_id"] for r in C.ann_ivf_query(spark, SF_DIR).collect()}
+    assert len(approx) == len(exact) == 10
+    # IVF with 2/8 probes: expect meaningful (not necessarily full) recall
+    assert len(exact & approx) >= 3
+
+
+def test_exact_dedup_covers_corpus(spark):
+    rows = C.exact_dedup_query(spark, SF_DIR).collect()
+    assert sum(r["group_size"] for r in rows) == 500
