@@ -84,7 +84,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": C.ann_bruteforce_query,
         "ann_topk_ivf": C.ann_ivf_query,
         "embedding_neardup_ivf": C.emb_neardup_query,
+        "multimodal_feature_extract": lambda spark, sf: _mm_features(spark, sf),
     }
+
+
+def _mm_features(spark: SparkSession, sf: str) -> DataFrame:
+    from slog_agent_spark.operators.multimodal import extract_features, media_table
+
+    return extract_features(media_table(spark, sf)).withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -114,4 +123,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_bruteforce": C.ann_bruteforce_oracle(),
         "ann_topk_ivf": C.ann_ivf_oracle(),
         "embedding_neardup_ivf": C.emb_neardup_oracle(),
+        "multimodal_feature_extract": _mm_oracle(),
     }
+
+
+def _mm_oracle() -> str:
+    from slog_agent_spark.functions.dialect import DUCKDB
+    from slog_agent_spark.operators.multimodal import features_oracle_sql
+
+    return features_oracle_sql(DUCKDB)
