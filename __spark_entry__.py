@@ -30,7 +30,7 @@ from slog_agent_spark.sources.transcripts import (  # noqa: E402
 
 PASSED_COLS = [
     "conv_id", "turn_idx", "log", "tag", "level", "app", "vhost",
-    "source", "class", "task", "pnum", "hostname", "service",
+    "source", "class", "task", "pnum", "hostname", "service", "svc_tier",
 ]
 
 
@@ -61,6 +61,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_metrics": lambda spark, sf: _cast_counts_long(P.metrics_df(spark, sf)),
         "pipeline_input_counters": lambda spark, sf: _cast_counts_long(
             P.input_counters_df(spark, sf)
+        ),
+        "conversation_reassembly": lambda spark, sf: _cast_counts_long(
+            P.conversation_reassembly_df(spark, sf)
         ),
         "sink_serialized_events": lambda spark, sf: P.serialized_events_df(spark, sf),
         "sink_output_counters": lambda spark, sf: _cast_counts_long(
@@ -111,6 +114,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_routed_counts": P.routed_counts_oracle_sql(),
         "pipeline_metrics": P.metrics_oracle_sql(),
         "pipeline_input_counters": P.input_counters_oracle_sql(),
+        "conversation_reassembly": P.conversation_reassembly_oracle_sql(),
         "sink_serialized_events": P.serialized_events_oracle_sql(),
         "sink_output_counters": P.output_counters_oracle_sql(),
         "doc_token_count": C.token_count_oracle(),

@@ -14,7 +14,7 @@ from __future__ import annotations
 SCHEMA_FIELDS = [
     "facility", "level", "time", "host", "app", "pid", "source",
     "extradata", "log", "class", "task", "vhost", "pnum",
-    "ddsource", "ddtags", "hostname", "service",
+    "ddsource", "ddtags", "hostname", "service", "svc_tier",
 ]
 
 # reference: testdata/config_sample.yml:66-112 (input extractions)
@@ -73,7 +73,13 @@ TRANSFORMATIONS: list[dict] = [
         "ddsource": "transcripts",
         "hostname": "$host",
         "service": "$vhost",
+        "svc_tier": "$level",
     }},
+    # mapValue: severity → paging tier (dictionary lookup with default,
+    # reference: transform/tmapvalue/tmapvalue.go:50-61)
+    {"type": "mapValue", "key": "svc_tier",
+     "mapping": {"fatal": "p0", "crit": "p0", "error": "p1", "warn": "p2"},
+     "default": "p3"},
 ]
 
 # reference: testdata/config_sample.yml:117-130

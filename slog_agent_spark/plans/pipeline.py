@@ -181,6 +181,39 @@ def metrics_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return process_metrics(transformed_df(spark, sf_dir))
 
 
+def conversation_reassembly_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reassemble each conversation in stable turn order.
+
+    The Spark analogue of the reference's multiline joiner
+    (reference: input/tcplistener/multilinereader.go:52-147) and the
+    direct proof of the per-keyset FIFO ordering invariant
+    (reference: testdata/config_sample.yml:124): rows arrive shuffled,
+    so ordering is imposed by sorting on turn_idx inside the aggregate,
+    never relied on from a shuffle.
+    """
+    df = transformed_df(spark, sf_dir)
+    return df.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.when(~F.col("dropped"), 1).otherwise(0)).alias("n_passed"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "  CASE WHEN NOT dropped THEN struct(turn_idx, log) END)), "
+            "s -> s.log), '\\n')"
+        ).alias("conversation"),
+    )
+
+
+def conversation_reassembly_oracle_sql() -> str:
+    return (
+        transformed_oracle_cte()
+        + """ SELECT conv_id, count(*) AS n_turns,
+             sum(CASE WHEN NOT dropped THEN 1 ELSE 0 END) AS n_passed,
+             coalesce(string_agg(CASE WHEN NOT dropped THEN log END,
+                        chr(10) ORDER BY turn_idx), '') AS conversation
+          FROM transformed GROUP BY conv_id"""
+    )
+
+
 def serialized_events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row serialized events for BOTH configured outputs.
 
