@@ -1,0 +1,67 @@
+"""spark-submit entry point for the transcript pipeline.
+
+Usage (cluster):
+    tools/package.sh          # builds dist/slog_agent_spark.zip
+    spark-submit --py-files dist/slog_agent_spark.zip \\
+        jobs/run_pipeline.py \\
+        --input  <transcripts parquet/iceberg location> \\
+        --output <sink root> --checkpoint <manifest root> \\
+        [--salt-buckets 64] [--metrics-out <path.prom>] [--resume]
+
+Reads the transcript table, runs parse → transform → route, writes
+per-tag sinks through the resumable checkpointer (plans/checkpoint.py),
+and dumps Prometheus-style metrics. Idempotent: rerunning after a crash
+completes only the partitions without a committed manifest.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--salt-buckets", type=int, default=64)
+    ap.add_argument("--metrics-out", default=None)
+    args = ap.parse_args(argv)
+
+    from slog_agent_spark.operators.metrics import process_metrics, prometheus_dump
+    from slog_agent_spark.plans import config as cfg
+    from slog_agent_spark.plans.checkpoint import SinkCheckpointer, write_sinks_resumable
+    from slog_agent_spark.plans.pipeline import transform_transcripts
+    from slog_agent_spark.session import build_session
+    from slog_agent_spark.sinks.writers import read_table
+
+    spark = build_session(app_name="slog-agent-spark-pipeline")
+    transcripts = read_table(spark, args.input)
+    transformed = transform_transcripts(transcripts).persist()
+    try:
+        config_repr = repr(
+            (cfg.SCHEMA_FIELDS, cfg.EXTRACTIONS, cfg.TRANSFORMATIONS,
+             cfg.ORCHESTRATION_KEYS, cfg.ORCHESTRATION_TAG, cfg.METRIC_KEYS)
+        )
+        fingerprint = f"count={transcripts.count()}"
+        ckpt = SinkCheckpointer(
+            args.output, config_repr, fingerprint, manifest_dir=args.checkpoint
+        )
+        written = write_sinks_resumable(transformed, ckpt)
+        print(f"committed {len(written)} sink partitions: {sorted(written)}")
+
+        dump = prometheus_dump(process_metrics(transformed))
+        if args.metrics_out:
+            with open(args.metrics_out, "w") as f:
+                f.write(dump)
+        else:
+            print(dump)
+    finally:
+        transformed.unpersist()
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -37,9 +37,15 @@ def _config_hash(config_repr: str) -> str:
 
 
 class SinkCheckpointer:
-    def __init__(self, root: str, config_repr: str, input_fingerprint: str):
+    def __init__(
+        self,
+        root: str,
+        config_repr: str,
+        input_fingerprint: str,
+        manifest_dir: str | None = None,
+    ):
         self.root = root
-        self.manifest_dir = os.path.join(root, "_manifests")
+        self.manifest_dir = manifest_dir or os.path.join(root, "_manifests")
         os.makedirs(self.manifest_dir, exist_ok=True)
         self.config_hash = _config_hash(config_repr)
         self.input_fingerprint = input_fingerprint

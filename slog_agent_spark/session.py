@@ -51,6 +51,23 @@ def build_session(
     if master is not None:
         builder = builder.master(master)
     conf = dict(_DEFAULTS)
+    # local mode: the driver JVM IS the executor — the 1g default heap
+    # causes constant GC/spill at bench scale. Only effective for the
+    # process's first session (JVM-start option).
+    mem = os.environ.get("SLOG_DRIVER_MEM", "8g")
+    conf["spark.driver.memory"] = mem
+    if os.environ.get("SLOG_JVM_TUNED", "0") == "1":
+        # Fixed, pre-touched heap + THP: G1's on-demand heap commit causes
+        # TLB-shootdown storms in this microVM (measured 97% kernel time,
+        # 20x slowdown). Pre-touching trades ~10s startup for stable runs.
+        conf["spark.driver.extraJavaOptions"] = (
+            f"-Xms{mem} -XX:+AlwaysPreTouch -XX:+UseTransparentHugePages"
+        )
+    # shuffle/spill files default to /tmp; the sandbox block device does
+    # ~10MB/s, so route scratch IO to tmpfs when present (real clusters
+    # provision NVMe scratch for exactly this reason)
+    if "spark.local.dir" not in (extra_conf or {}) and os.path.isdir("/dev/shm"):
+        conf["spark.local.dir"] = os.environ.get("SLOG_LOCAL_DIR", "/dev/shm/spark-local")
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:
