@@ -66,8 +66,12 @@ def run_bench(sf_dir: str, cpus: int, explode: int) -> dict:
     work = tempfile.mkdtemp(prefix="slog-bench-", dir=base)
     try:
         # ---- setup (untimed): materialize the input transcript table ----
+        # Fixed 128-file layout — identical input bytes at every
+        # parallelism level, and enough splits that local[32] (and a real
+        # 4N cluster) is never starved for scan tasks. On a real cluster
+        # this is the Iceberg table's file layout.
         tdir = f"{work}/transcripts"
-        transcripts_df(spark, sf_dir, explode).write.parquet(tdir)
+        transcripts_df(spark, sf_dir, explode).repartition(128).write.parquet(tdir)
         transcripts = spark.read.parquet(tdir)
         n_turns = transcripts.count()
 

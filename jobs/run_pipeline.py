@@ -6,7 +6,7 @@ Usage (cluster):
         jobs/run_pipeline.py \\
         --input  <transcripts parquet/iceberg location> \\
         --output <sink root> --checkpoint <manifest root> \\
-        [--salt-buckets 64] [--metrics-out <path.prom>] [--resume]
+        [--salt-buckets 64] [--metrics-out <path.prom>]
 
 Reads the transcript table, runs parse → transform → route, writes
 per-tag sinks through the resumable checkpointer (plans/checkpoint.py),
