@@ -136,6 +136,59 @@ def minhash_lsh_pairs_sql(d: SqlDialect, docs_rel: str = "documents") -> str:
     """
 
 
+NGRAM_DF_CAP = 100  # stop-shingle cut: shingles in more docs than this are noise
+
+
+def ngram_jaccard_pairs_sql(
+    d: SqlDialect, docs_rel: str = "documents",
+    threshold: float = JACCARD_THRESHOLD,
+) -> str:
+    """Exact all-pairs n-gram Jaccard via an inverted-index join.
+
+    Unlike MinHash+LSH (which can miss pairs), this finds EVERY pair with
+    Jaccard >= threshold over the retained shingle space. Scale shape:
+    explode docs to (shingle, doc) postings and self-join on the shingle
+    key — the only shuffle; cost scales with posting-list sizes, never
+    |docs|^2. Two standard prunings keep the lists short at corpus scale:
+
+    - df = 1 shingles are skipped from the join (they cannot intersect;
+      they still count toward each doc's set size, so results are exact)
+    - df > NGRAM_DF_CAP "stop-shingles" (boilerplate) are dropped from
+      the intersection entirely — the documented approximation, slightly
+      conservative (undercounts Jaccard) for pairs sharing hot shingles.
+    """
+    sh = shingles_expr(d)
+    if d.name == d.SPARK:
+        dedup_sh, sz = f"array_distinct({sh})", "size(shingle_set)"
+        unnest = "explode(shingle_set)"
+    else:
+        dedup_sh, sz = f"list_distinct({sh})", "len(shingle_set)"
+        unnest = "unnest(shingle_set)"
+    return f"""
+    WITH sets AS (SELECT doc_id, {dedup_sh} AS shingle_set FROM {docs_rel}),
+    sizes AS (SELECT doc_id, {sz} AS n_sh FROM sets),
+    postings AS (SELECT doc_id, {unnest} AS shingle FROM sets),
+    freq AS (SELECT shingle, count(*) AS df FROM postings GROUP BY shingle),
+    p AS (
+      SELECT postings.doc_id, postings.shingle
+      FROM postings JOIN freq ON postings.shingle = freq.shingle
+      WHERE freq.df BETWEEN 2 AND {NGRAM_DF_CAP}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6)
+             AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= {threshold}
+    """
+
+
 def simhash_items(d: SqlDialect, text_col: str = "text") -> dict[str, str]:
     """16-bit SimHash over shingle hashes (majority vote per bit)."""
     sh = shingles_expr(d, text_col)

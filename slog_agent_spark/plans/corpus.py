@@ -61,6 +61,9 @@ minhash_lsh_query, minhash_lsh_oracle = _sql_query(
 simhash_query, simhash_oracle = _sql_query(
     dedup.simhash_groups_sql, ("documents",)
 )
+ngram_jaccard_query, ngram_jaccard_oracle = _sql_query(
+    dedup.ngram_jaccard_pairs_sql, ("documents",)
+)
 ann_bruteforce_query, ann_bruteforce_oracle = _sql_query(
     similarity.ann_bruteforce_sql, ("embeddings",)
 )

@@ -16,6 +16,7 @@ PAIRS = [
     ("exact_dedup", C.exact_dedup_query, C.exact_dedup_oracle),
     ("minhash_lsh", C.minhash_lsh_query, C.minhash_lsh_oracle),
     ("simhash", C.simhash_query, C.simhash_oracle),
+    ("ngram_jaccard", C.ngram_jaccard_query, C.ngram_jaccard_oracle),
     ("ann_bruteforce", C.ann_bruteforce_query, C.ann_bruteforce_oracle),
     ("ann_ivf", C.ann_ivf_query, C.ann_ivf_oracle),
     ("emb_neardup", C.emb_neardup_query, C.emb_neardup_oracle),
@@ -40,6 +41,25 @@ def test_minhash_finds_near_duplicates(spark):
     assert rows, "corpus should contain near-duplicate documents"
     assert all(r["jaccard"] >= 0.35 for r in rows)
     assert all(r["doc_a"] < r["doc_b"] for r in rows)
+
+
+def test_ngram_jaccard_exact_superset_of_lsh(spark):
+    """Exact inverted-index Jaccard finds every pair LSH found (LSH can
+    only miss pairs, never invent them above the shared threshold).
+    Comfortably-above-threshold LSH pairs must appear exactly; boundary
+    pairs may differ only via the documented stop-shingle cut."""
+    exact_pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in C.ngram_jaccard_query(spark, SF_DIR).collect()
+    }
+    assert exact_pairs, "corpus should contain near-duplicate documents"
+    assert all(j >= 0.35 for j in exact_pairs.values())
+    lsh_strong = {
+        (r["doc_a"], r["doc_b"])
+        for r in C.minhash_lsh_query(spark, SF_DIR).collect()
+        if r["jaccard"] >= 0.45
+    }
+    assert lsh_strong <= set(exact_pairs)
 
 
 def test_ann_ivf_recall_vs_bruteforce(spark):
