@@ -122,6 +122,18 @@ def run_bench(sf_dir: str, cpus: int, explode: int) -> dict:
                 P.transform_transcripts(transcripts), f"{work}/sink"
             ),
         )
+        # compression evidence (untimed): sink bytes on disk vs raw input
+        # bytes — the reference headlines gzip 1:20-50 on production logs
+        # (reference: README.md:15, config_sample.yml:274); our sinks are
+        # zstd parquet, whose columnar+dict encoding plays the same role
+        sink_bytes = sum(
+            os.path.getsize(os.path.join(r, fn))
+            for r, _, fns in os.walk(f"{work}/sink") for fn in fns
+        )
+        raw_bytes = transcripts.agg(
+            F.sum(F.octet_length("text"))
+        ).collect()[0][0] or 0
+        compression_ratio = round(raw_bytes / sink_bytes, 2) if sink_bytes else None
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
@@ -137,6 +149,7 @@ def run_bench(sf_dir: str, cpus: int, explode: int) -> dict:
         "cpus": cpus,
         "explode": explode,
         "turns_per_sec": round(n_turns / pipeline_sec, 1) if pipeline_sec else None,
+        "sink_compression_ratio": compression_ratio,
     }
 
 
