@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -75,6 +76,60 @@ def run_stream_pipeline(
         .start()
     )
     q.awaitTermination()
+
+
+CONV_PROGRESS_OUT = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turns", LongType()),
+        StructField("bytes", LongType()),
+    ]
+)
+CONV_PROGRESS_STATE = StructType(
+    [StructField("turns", LongType()), StructField("bytes", LongType())]
+)
+
+
+def _conv_progress_fn(key, pdfs, state):
+    """Arrow-batched stateful update for one conv_id group.
+
+    Vectorized inside each batch (pandas sum, no per-row Python) — the
+    custom stateful operator path SURVEY.md §2.10 reserves for semantics
+    the built-in aggregates can't express incrementally per key.
+    """
+    import pandas as pd
+
+    turns, nbytes = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        turns += len(pdf)
+        nbytes += int(pdf["text"].str.len().sum())
+    state.update((turns, nbytes))
+    yield pd.DataFrame({"conv_id": [key[0]], "turns": [turns], "bytes": [nbytes]})
+
+
+def conversation_progress_stream(transcripts_stream: DataFrame) -> DataFrame:
+    """Per-conversation running (turns, bytes) counters as a stateful stream.
+
+    The streaming analogue of the reference's per-keyset counters flushed
+    every second (reference: base/logprocesscounterset.go:20-33): each
+    micro-batch emits the updated running totals for every conversation
+    it touched. State lives in the state store (RocksDB/HDFS-backed on a
+    cluster), keyed by conv_id — the same key the router salts, so hot
+    conversations spread over the shuffle while their state stays exact.
+
+    Invariant (tested): after draining all input, the last emitted row
+    per conv_id equals the batch groupBy(count, sum(length(text))) —
+    regardless of how files were chopped into micro-batches.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return transcripts_stream.groupBy("conv_id").applyInPandasWithState(
+        _conv_progress_fn,
+        outputStructType=CONV_PROGRESS_OUT,
+        stateStructType=CONV_PROGRESS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def windowed_role_counts(

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from slog_agent_spark.plans.pipeline import transform_transcripts
 from slog_agent_spark.sources.transcripts import transcripts_df
 from slog_agent_spark.streaming.stream import (
+    conversation_progress_stream,
     run_stream_pipeline,
     stream_transcripts,
     windowed_role_counts,
@@ -38,6 +39,51 @@ def test_stream_equals_batch(spark, sf_dir):
         # restart with same checkpoint: no duplicate output (exactly-once)
         run_stream_pipeline(spark, tdir, f"{work}/sink", f"{work}/ckpt")
         assert spark.read.parquet(f"{work}/sink/events").count() == len(s_rows)
+
+
+def test_stateful_conversation_progress_matches_batch(spark, sf_dir):
+    """applyInPandasWithState running counters: after draining all input,
+    the LAST update per conv_id must equal the batch aggregate, however
+    the input was chopped into micro-batches (maxFilesPerTrigger=8 over
+    16 files -> at least two stateful updates for convs spanning files).
+    """
+    with tempfile.TemporaryDirectory() as work:
+        tdir = f"{work}/transcripts"
+        transcripts_df(spark, sf_dir).repartition(16).write.parquet(tdir)
+
+        q = (
+            conversation_progress_stream(stream_transcripts(spark, tdir))
+            .writeStream.format("memory")
+            .queryName("conv_progress")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        # memory sink in update mode appends each update; the final state
+        # per conv is the max (counters only grow)
+        got = {
+            r["conv_id"]: (r["turns"], r["bytes"])
+            for r in spark.sql(
+                "SELECT conv_id, max(turns) AS turns, max(bytes) AS bytes"
+                " FROM conv_progress GROUP BY conv_id"
+            ).collect()
+        }
+        want = {
+            r["conv_id"]: (r["turns"], r["bytes"])
+            for r in spark.read.parquet(tdir)
+            .groupBy("conv_id")
+            .agg(
+                F.count("*").alias("turns"),
+                F.sum(F.length("text")).alias("bytes"),
+            )
+            .collect()
+        }
+        assert got == want
+        # state really was incremental: some conversation got >1 update
+        n_updates = spark.table("conv_progress").count()
+        assert n_updates > len(want)
 
 
 def test_windowed_counts_with_watermark(spark, sf_dir):
