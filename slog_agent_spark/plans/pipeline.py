@@ -207,7 +207,7 @@ def conversation_reassembly_oracle_sql() -> str:
     return (
         transformed_oracle_cte()
         + """ SELECT conv_id, count(*) AS n_turns,
-             sum(CASE WHEN NOT dropped THEN 1 ELSE 0 END) AS n_passed,
+             CAST(sum(CASE WHEN NOT dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
              coalesce(string_agg(CASE WHEN NOT dropped THEN log END,
                         chr(10) ORDER BY turn_idx), '') AS conversation
           FROM transformed GROUP BY conv_id"""
@@ -262,8 +262,9 @@ def output_counters_oracle_sql() -> str:
     return (
         f"WITH ev AS ({serialized_events_oracle_sql()}) "
         "SELECT tag, count(*) AS serialized_records, "
-        "sum(length(fluentd_event)) AS fluentd_bytes, "
-        "sum(length(datadog_event)) AS datadog_bytes FROM ev GROUP BY tag"
+        "CAST(sum(length(fluentd_event)) AS BIGINT) AS fluentd_bytes, "
+        "CAST(sum(length(datadog_event)) AS BIGINT) AS datadog_bytes "
+        "FROM ev GROUP BY tag"
     )
 
 
@@ -315,24 +316,31 @@ def routed_counts_oracle_sql() -> str:
         transformed_oracle_cte()
         + f""" SELECT {keys},
                count(*) AS routed_records,
-               sum(raw_length) AS routed_bytes
+               CAST(sum(raw_length) AS BIGINT) AS routed_bytes
            FROM transformed WHERE NOT dropped GROUP BY {keys}"""
     )
 
 
 def metrics_oracle_sql() -> str:
     keys = ", ".join(ORCHESTRATION_KEYS + METRIC_KEYS)
+    # CAST(... AS BIGINT) on every sum: DuckDB sums to HUGEINT (int128)
+    # while Spark sums to BIGINT, and the driver's value-hash is
+    # type-sensitive — values are identical, the encoding is not.
     aggs = [
-        "sum(CASE WHEN NOT dropped THEN 1 ELSE 0 END) AS passed_records",
-        "sum(CASE WHEN NOT dropped THEN raw_length ELSE 0 END) AS passed_bytes",
-        "sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS dropped_records",
-        "sum(CASE WHEN dropped THEN raw_length ELSE 0 END) AS dropped_bytes",
+        "CAST(sum(CASE WHEN NOT dropped THEN 1 ELSE 0 END) AS BIGINT) AS passed_records",
+        "CAST(sum(CASE WHEN NOT dropped THEN raw_length ELSE 0 END) AS BIGINT) AS passed_bytes",
+        "CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS dropped_records",
+        "CAST(sum(CASE WHEN dropped THEN raw_length ELSE 0 END) AS BIGINT) AS dropped_bytes",
     ]
     for label in ALL_LABELS:
         c = label_col(label)
-        aggs.append(f"sum(CASE WHEN {_q(c)} THEN 1 ELSE 0 END) AS {c}_records")
         aggs.append(
-            f"sum(CASE WHEN {_q(c)} THEN raw_length ELSE 0 END) AS {c}_bytes"
+            f"CAST(sum(CASE WHEN {_q(c)} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS {c}_records"
+        )
+        aggs.append(
+            f"CAST(sum(CASE WHEN {_q(c)} THEN raw_length ELSE 0 END) AS BIGINT)"
+            f" AS {c}_bytes"
         )
     return (
         transformed_oracle_cte()
@@ -345,9 +353,9 @@ def input_counters_oracle_sql() -> str:
         f"WITH transcripts AS ({transcripts_oracle_cte()}), "
         f"parsed AS ({parse_oracle_select('transcripts')}) "
         "SELECT "
-        "sum(CASE WHEN parse_ok THEN 1 ELSE 0 END) AS passed_records, "
-        "sum(CASE WHEN parse_ok THEN raw_length ELSE 0 END) AS passed_bytes, "
-        "sum(CASE WHEN NOT parse_ok THEN 1 ELSE 0 END) AS malformed_records, "
-        "sum(CASE WHEN NOT parse_ok THEN raw_length ELSE 0 END) AS malformed_bytes "
+        "CAST(sum(CASE WHEN parse_ok THEN 1 ELSE 0 END) AS BIGINT) AS passed_records, "
+        "CAST(sum(CASE WHEN parse_ok THEN raw_length ELSE 0 END) AS BIGINT) AS passed_bytes, "
+        "CAST(sum(CASE WHEN NOT parse_ok THEN 1 ELSE 0 END) AS BIGINT) AS malformed_records, "
+        "CAST(sum(CASE WHEN NOT parse_ok THEN raw_length ELSE 0 END) AS BIGINT) AS malformed_bytes "
         "FROM parsed"
     )

@@ -32,6 +32,40 @@ def norm(v):
     return v
 
 
+def _arrow_types(schema) -> dict[str, str]:
+    """name → normalized arrow type string (large_string≡string etc.)."""
+    out = {}
+    for f in schema:
+        t = str(f.type)
+        t = t.replace("large_string", "string").replace("large_binary", "binary")
+        if t.startswith("timestamp"):
+            t = "timestamp"
+        # int width is hash-neutral for the driver (r1 evidence: int32 vs
+        # int64 columns hashed green); int128/decimal (DuckDB HUGEINT) is not.
+        if t in ("int8", "int16", "int32", "int64", "uint8", "uint16",
+                 "uint32", "uint64"):
+            t = "int"
+        out[f.name] = t
+    return out
+
+
+def type_mismatches(df, cur) -> list[str]:
+    """Driver's value-hash is TYPE-sensitive: a DuckDB HUGEINT sum vs a
+    Spark BIGINT sum hash-differs even with identical values. Compare the
+    two result sets at the Arrow level to catch that locally."""
+    try:
+        s_types = _arrow_types(df.limit(1).toArrow().schema)
+        d_types = _arrow_types(cur.fetch_arrow_table().schema)
+    except Exception as e:  # arrow export unavailable → skip, don't fail
+        print(f"  (type check skipped: {type(e).__name__}: {str(e)[:120]})")
+        return []
+    return [
+        f"{c}: spark={s_types[c]} duckdb={d_types[c]}"
+        for c in s_types
+        if c in d_types and s_types[c] != d_types[c]
+    ]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -64,6 +98,8 @@ def main() -> int:
             continue
         try:
             cur = con.execute(oracles[name])
+            tmism = type_mismatches(df, cur)
+            cur = con.execute(oracles[name])  # re-run: arrow fetch drained it
             d_names = [c[0] for c in cur.description]
             idx = [d_names.index(c) for c in cols] if sorted(d_names) == cols else None
             if idx is None:
@@ -73,6 +109,10 @@ def main() -> int:
             d_rows = sorted(tuple(norm(row[i]) for i in idx) for row in cur.fetchall())
         except Exception as e:
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {str(e)[:300]}")
+            failures += 1
+            continue
+        if tmism:
+            print(f"FAIL {name}: arrow type mismatch (hash-breaking): {tmism}")
             failures += 1
             continue
         if len(s_rows) != len(d_rows):
