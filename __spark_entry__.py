@@ -31,6 +31,7 @@ from slog_agent_spark.sources.transcripts import (  # noqa: E402
 PASSED_COLS = [
     "conv_id", "turn_idx", "log", "tag", "level", "app", "vhost",
     "source", "class", "task", "pnum", "hostname", "service", "svc_tier",
+    "ip", "user_agent",
 ]
 
 

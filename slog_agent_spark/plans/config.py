@@ -15,6 +15,7 @@ SCHEMA_FIELDS = [
     "facility", "level", "time", "host", "app", "pid", "source",
     "extradata", "log", "class", "task", "vhost", "pnum",
     "ddsource", "ddtags", "hostname", "service", "svc_tier",
+    "ip", "user_agent",
 ]
 
 # reference: testdata/config_sample.yml:66-112 (input extractions)
@@ -26,6 +27,11 @@ EXTRACTIONS: list[dict] = [
     {"type": "extractTail", "key": "app", "pattern": "/*",
      "maxLen": 100, "destKey": "vhost"},
     {"type": "addFields", "fields": {"pnum": "${task[-1:]}"}},
+    # plain named-group extract over the access-log bodies
+    # (reference: transform/textract/textract.go:72-92)
+    {"type": "extract", "key": "log",
+     "pattern": r'ip=(?P<ip>[0-9.]+) time="[^"]*"'
+                r' user_agent="(?P<user_agent>[^"]*)"'},
     {"type": "if",
      "match": {"class": ("str-any", ""), "task": ("str-any", "")},
      "then": [{"type": "addFields", "fields": {"task": "$task:$class"}}]},
@@ -94,7 +100,7 @@ OUTPUTS: dict[str, dict] = {
         "environmentFields": ["host", "vhost", "app", "source"],
         "hiddenFields": [
             "task", "class", "pnum", "ddsource", "ddtags",
-            "hostname", "service",
+            "hostname", "service", "ip", "user_agent",
         ],
         "rewriteFields": {
             "log": [
@@ -105,7 +111,7 @@ OUTPUTS: dict[str, dict] = {
     },
     "datadogAPI": {
         "type": "datadog",
-        "hiddenFields": ["task", "class", "pnum"],
+        "hiddenFields": ["task", "class", "pnum", "ip", "user_agent"],
     },
 }
 
