@@ -155,10 +155,18 @@ class SqlDialect:
 
     # -- timestamps ----------------------------------------------------------
     def try_to_timestamp(self, col: str) -> str:
-        """Parse RFC3339-ish 'yyyy-MM-ddTHH:mm:ssZ'; NULL on failure."""
+        """Parse RFC3339 (optional fraction, 'Z' or ±hh:mm offset) to a
+        UTC-normalized naive timestamp; NULL on failure.
+
+        reference: transform/tparsetime/tparsetime.go:53-67 (RFC3339 only).
+        Spark's formatless try_to_timestamp accepts ISO8601 with offsets
+        and resolves instants against the session tz (pinned to UTC by
+        session.py); DuckDB goes through TIMESTAMPTZ then shifts to UTC
+        explicitly so the result is independent of the connection tz.
+        """
         if self.name == self.SPARK:
-            return f"try_to_timestamp(replace({col}, 'Z', ''), 'yyyy-MM-dd\\'T\\'HH:mm:ss')"
-        return f"try_cast(replace({col}, 'Z', '') AS TIMESTAMP)"
+            return f"try_to_timestamp({col})"
+        return f"timezone('UTC', try_cast({col} AS TIMESTAMPTZ))"
 
 
 SPARK = SqlDialect(SqlDialect.SPARK)

@@ -86,19 +86,25 @@ def _concat_ws(d: SqlDialect, sep: str, parts: list[str]) -> str:
     return f"concat_ws('{sep}', {inner})"
 
 
-def fluentd_event(d: SqlDialect, output_cfg: dict, tag_col: str = "tag") -> str:
+def fluentd_event(
+    d: SqlDialect,
+    output_cfg: dict,
+    tag_col: str = "tag",
+    schema_fields: list[str] | None = None,
+) -> str:
     """One serialized fluentd-style event per row (JSON string expr).
 
     reference: output/fluentdforward/eventserializer.go:91-205 — schema
     order, hidden fields skipped, environment fields nested under
     "environment", EventTime = epoch seconds + fraction.
     """
+    fields = schema_fields or SCHEMA_FIELDS
     hidden = set(output_cfg.get("hiddenFields", []))
     env_fields = output_cfg.get("environmentFields", [])
     rewrites = output_cfg.get("rewriteFields", {})
     body_parts = [
         _member(d, f, _rewritten(d, f, rewrites.get(f, [])))
-        for f in SCHEMA_FIELDS
+        for f in fields
         if f not in hidden and f not in env_fields and f != "time"
     ]
     env_parts = [_member(d, f, f) for f in env_fields]
@@ -122,23 +128,32 @@ def fluentd_event(d: SqlDialect, output_cfg: dict, tag_col: str = "tag") -> str:
     )
 
 
-def datadog_event(d: SqlDialect, output_cfg: dict, tag_col: str = "tag") -> str:
+def datadog_event(
+    d: SqlDialect,
+    output_cfg: dict,
+    tag_col: str = "tag",
+    schema_fields: list[str] | None = None,
+) -> str:
     """One serialized datadog-style event per row (JSON string expr).
 
     reference: output/datadog/eventserializer.go:33-52 — flat object of
-    non-hidden non-empty fields; ddtags defaults to the tag; timestamp in
-    epoch milliseconds.
+    non-hidden non-empty fields; ddtags defaults to the tag; timestamp is
+    a STRING of epoch milliseconds (strconv.FormatInt into a map of
+    strings, eventserializer.go:44).
     """
+    fields = schema_fields or SCHEMA_FIELDS
     hidden = set(output_cfg.get("hiddenFields", []))
     parts = [
         _member(d, f, f)
-        for f in SCHEMA_FIELDS
+        for f in fields
         if f not in hidden and f != "ddtags" and f != "time"
     ]
     ddtags = d.if_(f"{d.length('ddtags')} > 0", "ddtags", tag_col)
     parts.append(_member(d, "ddtags", ddtags))
     ts_ms = d.concat(
-        d.lit('"timestamp":'), d.to_string(d.int_div(d.unix_micros("ts"), "1000"))
+        d.lit('"timestamp":"'),
+        d.to_string(d.int_div(d.unix_micros("ts"), "1000")),
+        d.lit('"'),
     )
     return d.concat(
         d.lit("{"), _concat_ws(d, ",", parts + [ts_ms]), d.lit("}")

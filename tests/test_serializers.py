@@ -42,7 +42,9 @@ def test_fluentd_event_shape(spark, sf_dir):
         assert set(env) <= {"host", "vhost", "app", "source"}
 
         dd = json.loads(r["datadog_event"])
-        assert isinstance(dd["timestamp"], int)
+        # epoch-ms STRING, matching the reference
+        # (output/datadog/eventserializer.go:44 FormatInt into map[string]string)
+        assert isinstance(dd["timestamp"], str) and dd["timestamp"].isdigit()
         assert dd.get("ddtags")  # defaults to tag when empty
         assert "task" not in dd and "class" not in dd and "pnum" not in dd
 

@@ -11,7 +11,7 @@ with zipfile.ZipFile("dist/slog_agent_spark.zip", "w", zipfile.ZIP_DEFLATED) as 
         if "__pycache__" in root:
             continue
         for f in files:
-            if f.endswith(".py"):
+            if f.endswith((".py", ".yml")):
                 p = os.path.join(root, f)
                 z.write(p, p)
 print("wrote dist/slog_agent_spark.zip")
