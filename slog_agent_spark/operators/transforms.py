@@ -223,10 +223,17 @@ def compile_steps(state: _State, steps: list[dict], guard: str) -> None:
             if pct >= 100:
                 drop = matched
             else:
-                h = d.hex_to_long(
-                    d.md5(d.concat("conv_id", "':'", d.to_string("turn_idx")))
-                )
-                samp = state.tmp(f"(({h}) % 100 < {pct})")
+                if "decisionExpr" in step:
+                    # precomputed sequential decision column — the golden
+                    # parity runner reproduces the reference's running-
+                    # ratio sampler exactly (tdrop.go:75-84) via a window
+                    # pass; see plans/golden.py
+                    samp = state.tmp(step["decisionExpr"])
+                else:
+                    h = d.hex_to_long(
+                        d.md5(d.concat("conv_id", "':'", d.to_string("turn_idx")))
+                    )
+                    samp = state.tmp(f"(({h}) % 100 < {pct})")
                 drop = state.tmp(_and(matched, samp))
             label = step.get("metricLabel")
             if label:
@@ -316,15 +323,20 @@ def compile_steps(state: _State, steps: list[dict], guard: str) -> None:
         elif t == "redactEmail":
             # reference: transform/tredactemail/redactemail.go:32-173
             k = step["key"]
-            # '@'-containment fast path: the reference prefilters exactly
-            # this way before scanning (tredactemail.go common case)
-            red = state.tmp(
-                d.if_(
-                    d.contains(k, "@"),
-                    d.regexp_replace_all(k, REDACT_EMAIL_RE, REDACT_REPLACEMENT),
-                    k,
+            if step.get("exactUdf"):
+                # scanner-exact path for reference-parity runs: calls the
+                # registered pandas UDF (functions/redact.py) — Spark-only
+                red = state.tmp(f"redact_email_exact({k})")
+            else:
+                # '@'-containment fast path: the reference prefilters
+                # exactly this way before scanning (tredactemail.go)
+                red = state.tmp(
+                    d.if_(
+                        d.contains(k, "@"),
+                        d.regexp_replace_all(k, REDACT_EMAIL_RE, REDACT_REPLACEMENT),
+                        k,
+                    )
                 )
-            )
             if step.get("metricLabel"):
                 chg = state.tmp(_and(guard, state.alive, f"{red} != {k}"))
                 state.counters.append((step["metricLabel"], chg))
