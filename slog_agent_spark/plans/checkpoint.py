@@ -17,9 +17,11 @@ output/baseoutput/clientworker.go:110-116). The Spark-native equivalent:
 Killing the job between partition commits and rerunning converges to the
 same final state as an uninterrupted run (tests/test_checkpoint.py).
 
-At cluster scale the per-tag loop stays small: tags are per-keyset sinks
-(bounded by key cardinality, not data volume) — same assumption the
-reference makes for its queue dirs.
+Scale shape: O(1) Spark jobs regardless of tag cardinality — one
+aggregation computes every per-tag count, one dynamic-overwrite
+partitioned write rewrites exactly the pending partitions; only the
+manifest loop (bounded by key cardinality, same assumption the reference
+makes for its queue dirs) runs on the driver.
 """
 
 from __future__ import annotations
@@ -97,43 +99,60 @@ def write_sinks_resumable(
     transformed: DataFrame,
     ckpt: SinkCheckpointer,
     fail_after: int | None = None,
+    salt_buckets: int = 8,
 ) -> dict[str, int]:
-    """Write passed rows per tag partition, committing each via manifest.
+    """Write passed rows for all pending tags in ONE partitioned write.
 
-    ``fail_after``: test hook — raise after N successful partition commits
-    (simulates a crash between sink commits).
+    O(1) Spark jobs regardless of tag cardinality: one aggregation
+    produces every per-tag row/byte count (the manifest payload AND the
+    pending-tag list), then a single ``partitionBy("tag")`` write in
+    dynamic-overwrite mode rewrites only the pending partitions —
+    committed partitions' files are never touched. Manifests are the
+    commit markers, written after the write succeeds; a crash anywhere
+    before that leaves their tags uncommitted, so a rerun rewrites them
+    idempotently (same recovery contract as the reference's on-disk
+    queues, buffer/hybridbuffer/bufferer.go:104-171).
+
+    ``fail_after``: test hook — raise after N manifest commits
+    (simulates a crash between sink ACKs).
 
     Returns {tag: rows_written_this_run}; already-committed tags are
     skipped (resume path).
     """
+    from pyspark.sql import functions as F
+
     transformed = transformed.persist()
     try:
-        tags = [
-            r["tag"]
-            for r in transformed.select("tag").distinct().collect()
-        ]
+        passed = transformed.where(~transformed["dropped"])
+        counts = {
+            r["tag"]: (r["rows"], r["bytes"] or 0)
+            for r in passed.groupBy("tag").agg(
+                F.count("*").alias("rows"),
+                F.sum("raw_length").alias("bytes"),
+            ).collect()
+        }
+        pending = sorted(t for t in counts if not ckpt.committed(t))
+        if not pending:
+            return {}
+
+        salt = F.pmod(F.xxhash64("conv_id"), F.lit(max(salt_buckets, 1)))
+        (
+            passed.where(F.col("tag").isin(pending))
+            .repartition(F.col("tag"), salt)
+            .sortWithinPartitions("tag", "conv_id", "turn_idx")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("tag")
+            .parquet(ckpt.root)
+        )
+
         written: dict[str, int] = {}
-        done = 0
-        for tag in sorted(tags):
-            if ckpt.committed(tag):
-                continue
-            part = transformed.where(
-                (transformed["tag"] == tag) & ~transformed["dropped"]
-            ).sortWithinPartitions("conv_id", "turn_idx")
-            path = os.path.join(ckpt.root, f"tag={_safe(tag)}")
-            part.write.mode("overwrite").parquet(path)
-            agg = part.groupBy().sum("raw_length").collect()
-            rows = part.count()
-            bytes_ = agg[0][0] or 0
+        for done, tag in enumerate(pending, start=1):
+            rows, bytes_ = counts[tag]
             ckpt.commit(tag, rows, int(bytes_))
             written[tag] = rows
-            done += 1
             if fail_after is not None and done >= fail_after:
                 raise RuntimeError(f"injected failure after {done} commits")
         return written
     finally:
         transformed.unpersist()
-
-
-def _safe(tag: str) -> str:
-    return "".join(c if c.isalnum() or c in "._-" else "_" for c in tag)

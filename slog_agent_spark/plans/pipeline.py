@@ -30,6 +30,7 @@ from ..sources.parser import PARSED_FIELDS, parse_oracle_select, parse_transcrip
 from ..sources.transcripts import transcripts_df, transcripts_oracle_cte
 from .config import (
     ALL_LABELS,
+    DEFAULT_CONFIG,
     EXTRACTIONS,
     METRIC_KEYS,
     ORCHESTRATION_KEYS,
@@ -37,6 +38,7 @@ from .config import (
     SCHEMA_FIELDS,
     TRANSFORMATIONS,
 )
+from .yaml_config import PipelineConfig
 
 # Columns arriving from the parse stage (passthrough + parsed fields).
 INPUT_FIELDS = frozenset(
@@ -53,20 +55,28 @@ def label_col(label: str) -> str:
     return "lbl_" + label.replace("!", "not_").replace("-", "_")
 
 
-def compile_pipeline(d: SqlDialect) -> tuple[CompiledChain, dict[str, str]]:
+def compile_pipeline(
+    d: SqlDialect, cfg: PipelineConfig | None = None
+) -> tuple[CompiledChain, dict[str, str]]:
     """Compile the full chain; return (chain, final select name→expr).
 
     The final select runs over the last chain layer: schema fields keep
     their own names, flag/ts helpers get stable public names, and the
-    orchestration tag template expands over the final field columns.
+    orchestration tag template expands over the final field columns
+    (static tag for singleton orchestration,
+    reference: orchestrate/osingleton/orchestrator.go:28-48).
     """
+    cfg = cfg or DEFAULT_CONFIG
     chain = compile_chain(
-        d, EXTRACTIONS + TRANSFORMATIONS, SCHEMA_FIELDS, set(INPUT_FIELDS)
+        d,
+        cfg.extractions + cfg.transformations,
+        cfg.schema_fields,
+        set(INPUT_FIELDS),
     )
-    tag = compile_template(ORCHESTRATION_TAG, d)
+    tag = compile_template(cfg.orchestration_tag, d)
     items: dict[str, str] = {c: c for c in PASSTHROUGH}
     items["ts"] = chain.ts_col or "ts"
-    for f in SCHEMA_FIELDS:
+    for f in cfg.schema_fields:
         items[f] = f
     items["tag"] = tag
     items["unescaped"] = chain.unescaped_col
@@ -80,13 +90,15 @@ def compile_pipeline(d: SqlDialect) -> tuple[CompiledChain, dict[str, str]]:
 # Spark (product) side
 # ---------------------------------------------------------------------------
 
-def transform_transcripts(transcripts: DataFrame) -> DataFrame:
+def transform_transcripts(
+    transcripts: DataFrame, cfg: PipelineConfig | None = None
+) -> DataFrame:
     """Parse + full transform chain over an already-loaded transcript table
     (pre-drop-filter, with flag cols). This is the core operator: use it
     directly when the transcripts are materialized (Iceberg/parquet).
     """
     parsed = parse_transcripts(transcripts)
-    chain, items = compile_pipeline(SPARK)
+    chain, items = compile_pipeline(SPARK, cfg)
     staged = apply_chain_spark(parsed.where("parse_ok"), chain)
     return staged.select(*[F.expr(e).alias(k) for k, e in items.items()])
 
@@ -126,6 +138,7 @@ def run_fanout(
     transformed: DataFrame,
     sink_dir: str,
     salt_buckets: int = 8,
+    max_records_per_file: int = 0,
 ) -> DataFrame:
     """The canonical multi-consumer job: metrics + per-sink writes.
 
@@ -148,17 +161,66 @@ def run_fanout(
         metrics.count()  # materialize cache + metrics together
         keys = [F.col(k) for k in ORCHESTRATION_KEYS]
         salt = F.pmod(F.xxhash64("conv_id"), F.lit(max(salt_buckets, 1)))
-        (
+        writer = (
             transformed.where("NOT dropped")
             .repartition(*keys, salt)
             .sortWithinPartitions("conv_id", "turn_idx")
             .write.mode("overwrite")
-            .partitionBy("tag")
-            .parquet(sink_dir)
         )
+        if max_records_per_file > 0:
+            # file-size cap per sink, mirroring the reference's chunk caps
+            # (reference: output/fluentdforward/config.go:26-35 — 7MiB /
+            # optional record limit per chunk before flush)
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.partitionBy("tag").parquet(sink_dir)
         return metrics
     finally:
         transformed.unpersist()
+
+
+def run_singleton(
+    transformed: DataFrame,
+    sink_dir: str,
+    max_records_per_file: int = 0,
+) -> DataFrame:
+    """Singleton orchestration: ONE pipeline/sink, no key redistribution,
+    static tag (reference: orchestrate/osingleton/orchestrator.go:28-48).
+
+    The Spark shape: metrics once, then a single un-partitioned write —
+    no repartition (no shuffle), order imposed per input partition only,
+    exactly the reference's one-queue FIFO analogue.
+    """
+    from ..operators.metrics import process_metrics
+
+    transformed = transformed.persist()
+    try:
+        metrics = process_metrics(transformed)
+        metrics.count()
+        writer = (
+            transformed.where("NOT dropped")
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .write.mode("overwrite")
+        )
+        if max_records_per_file > 0:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.parquet(sink_dir)
+        return metrics
+    finally:
+        transformed.unpersist()
+
+
+def run_sinks(
+    transformed: DataFrame,
+    sink_dir: str,
+    cfg: PipelineConfig | None = None,
+    **kw,
+) -> DataFrame:
+    """Config-selected orchestration: byKeySet fan-out or singleton."""
+    cfg = cfg or DEFAULT_CONFIG
+    if cfg.orchestration_type == "singleton":
+        kw.pop("salt_buckets", None)
+        return run_singleton(transformed, sink_dir, **kw)
+    return run_fanout(transformed, sink_dir, **kw)
 
 
 def routed_counts_df(spark: SparkSession, sf_dir: str) -> DataFrame:

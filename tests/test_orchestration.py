@@ -1,0 +1,52 @@
+"""Orchestration selection: singleton sink + per-file record caps.
+
+reference: orchestrate/osingleton/orchestrator.go:28-48 (one pipeline,
+static tag, no redistribution); output/fluentdforward/config.go:26-35
+(chunk size/record caps before flush).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+import tempfile
+
+from slog_agent_spark.plans import pipeline as P
+from slog_agent_spark.plans.config import DEFAULT_CONFIG
+from slog_agent_spark.sources.transcripts import transcripts_df
+
+
+def _singleton_cfg():
+    return dataclasses.replace(
+        DEFAULT_CONFIG,
+        orchestration_type="singleton",
+        orchestration_keys=[],
+        orchestration_tag="development.all",
+    )
+
+
+def test_singleton_single_sink_static_tag(spark, sf_dir):
+    cfg = _singleton_cfg()
+    tf = P.transform_transcripts(transcripts_df(spark, sf_dir), cfg)
+    assert tf.select("tag").distinct().collect()[0]["tag"] == "development.all"
+    with tempfile.TemporaryDirectory() as root:
+        sink = os.path.join(root, "sink")
+        P.run_sinks(tf, sink, cfg)
+        # no per-tag partition dirs: one flat sink
+        assert not glob.glob(os.path.join(sink, "tag=*"))
+        got = spark.read.parquet(sink)
+        assert got.count() == tf.where("NOT dropped").count()
+
+
+def test_max_records_per_file_cap(spark, sf_dir):
+    tf = P.transformed_df(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as root:
+        sink = os.path.join(root, "sink")
+        P.run_sinks(tf, sink, max_records_per_file=50)
+        files = glob.glob(os.path.join(sink, "tag=*", "*.parquet"))
+        assert files
+        for f in files:
+            # each file obeys the cap (reference chunk flush limit)
+            n = spark.read.parquet(f).count()
+            assert n <= 50, f
