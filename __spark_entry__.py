@@ -85,11 +85,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": lambda spark, sf: _cast_counts_long(
             C.simhash_query(spark, sf)
         ),
+        "dedup_simhash_neardup": lambda spark, sf: _cast_counts_long(
+            C.simhash_neardup_query(spark, sf)
+        ),
         "dedup_ngram_jaccard": lambda spark, sf: _cast_counts_long(
             C.ngram_jaccard_query(spark, sf)
         ),
         "ann_topk_bruteforce": C.ann_bruteforce_query,
         "ann_topk_ivf": C.ann_ivf_query,
+        "ann_topk_ivf_trained": C.ann_ivf_trained_query,
         "embedding_neardup_ivf": C.emb_neardup_query,
         "multimodal_feature_extract": lambda spark, sf: _mm_features(spark, sf),
     }
@@ -128,9 +132,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": C.exact_dedup_oracle(),
         "dedup_minhash_lsh": C.minhash_lsh_oracle(),
         "dedup_simhash": C.simhash_oracle(),
+        "dedup_simhash_neardup": C.simhash_neardup_oracle(),
         "dedup_ngram_jaccard": C.ngram_jaccard_oracle(),
         "ann_topk_bruteforce": C.ann_bruteforce_oracle(),
         "ann_topk_ivf": C.ann_ivf_oracle(),
+        "ann_topk_ivf_trained": C.ann_ivf_trained_oracle(),
         "embedding_neardup_ivf": C.emb_neardup_oracle(),
         "multimodal_feature_extract": _mm_oracle(),
     }

@@ -143,6 +143,20 @@ class SqlDialect:
             return f"CAST(conv(substr({hexcol}, 1, 15), 16, 10) AS BIGINT)"
         return f"CAST(('0x' || substr({hexcol}, 1, 15)) AS BIGINT)"
 
+    def hex_digit(self, col_char_expr: str) -> str:
+        """Single hex char expression → its integer value (0-15)."""
+        if self.name == self.SPARK:
+            return f"CAST(conv({col_char_expr}, 16, 10) AS INT)"
+        return f"CAST(('0x' || {col_char_expr}) AS INTEGER)"
+
+    def xor(self, a: str, b: str) -> str:
+        if self.name == self.SPARK:
+            return f"(({a}) ^ ({b}))"
+        return f"xor(({a}), ({b}))"
+
+    def bit_count(self, x: str) -> str:
+        return f"bit_count({x})"
+
     def int_div(self, a: str, b: str) -> str:
         op = "div" if self.name == self.SPARK else "//"
         return f"(({a}) {op} ({b}))"

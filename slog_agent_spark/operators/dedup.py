@@ -189,9 +189,14 @@ def ngram_jaccard_pairs_sql(
     """
 
 
-def simhash_items(d: SqlDialect, text_col: str = "text") -> dict[str, str]:
-    """16-bit SimHash over shingle hashes (majority vote per bit)."""
-    sh = shingles_expr(d, text_col)
+def simhash_items(
+    d: SqlDialect, arr_col: str = "sharr"
+) -> dict[str, str]:
+    """16-bit SimHash over an ALREADY-MATERIALIZED shingle-hash array
+    column (majority vote per bit). Callers must project the shingle
+    array once first — inlining shingles_expr here would recompute the
+    tokenize+md5 pipeline per bit (measured ~16× slowdown)."""
+    sh = arr_col
     n = _size(d, sh)
     bit_terms = []
     for j in range(SIMHASH_BITS):
@@ -209,7 +214,87 @@ def simhash_groups_sql(d: SqlDialect, docs_rel: str = "documents") -> str:
     """Near-dup groups: documents sharing an identical 16-bit SimHash."""
     sim = simhash_items(d)["simhash16"]
     return f"""
-    WITH s AS (SELECT doc_id, {sim} AS simhash16 FROM {docs_rel})
+    WITH sets AS (SELECT doc_id, {shingles_expr(d)} AS sharr FROM {docs_rel}),
+    s AS (SELECT doc_id, {sim} AS simhash16 FROM sets)
     SELECT simhash16, count(*) AS group_size, min(doc_id) AS keep_doc_id
     FROM s GROUP BY simhash16
+    """
+
+
+# -- 64-bit SimHash with a banded Hamming join --------------------------------
+# True near-dup: 64-bit sketch split into 4×16-bit bands; any pair within
+# Hamming distance ≤ SIMHASH_HAMMING_K shares at least one exact band
+# (pigeonhole: k < number of bands), so the band-equality join has exact
+# recall; verification computes the true distance via bit_count(xor).
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 16
+SIMHASH_HAMMING_K = 3
+
+
+def simhash_band_items(d: SqlDialect, arr_col: str = "sharr") -> dict[str, str]:
+    """4×16-bit SimHash bands (64 bits total, majority vote per bit) over
+    an already-materialized shingle-hash array column.
+
+    Bit (band b, r) := bit r%4 of hex digit 4b + r//4 of each shingle's
+    md5 — 16 hex digits cover all 64 bits. Pure per-row projection: no
+    shuffle, cost linear in shingles × bits, embarrassingly parallel.
+    """
+    sh = arr_col
+    n = _size(d, sh)
+    items: dict[str, str] = {}
+    for b in range(SIMHASH_BANDS):
+        terms = []
+        for r in range(SIMHASH_BAND_BITS):
+            digit_pos = b * 4 + r // 4 + 1  # 1-based hex digit index
+            bit = r % 4
+            val = d.hex_digit(f"substr(x, {digit_pos}, 1)")
+            pred = f"((({val}) >> {bit}) & 1) = 1"
+            if d.name == d.SPARK:
+                cnt = f"size(filter({sh}, x -> {pred}))"
+            else:
+                cnt = f"len(list_filter({sh}, x -> {pred}))"
+            terms.append(
+                f"(CASE WHEN 2 * ({cnt}) > {n} THEN {1 << r} ELSE 0 END)"
+            )
+        items[f"sb{b}"] = "(" + " + ".join(terms) + ")"
+    return items
+
+
+def simhash_neardup_pairs_sql(
+    d: SqlDialect, docs_rel: str = "documents", k: int = SIMHASH_HAMMING_K
+) -> str:
+    """Near-dup pairs at Hamming distance ≤ k over the 64-bit SimHash.
+
+    Scale shape mirrors MinHash-LSH: sketch projection (no shuffle) →
+    explode to (band_id, band_key) → self-join on the band key (the only
+    shuffle) → distinct candidate pairs → verify true Hamming distance.
+    Exact recall for k < SIMHASH_BANDS by pigeonhole.
+    """
+    assert k < SIMHASH_BANDS, "banding guarantees recall only for k < bands"
+    items = simhash_band_items(d)
+    sel = ", ".join(f"{e} AS {k2}" for k2, e in items.items())
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_key, '{b}' AS band_id FROM s"
+        for b in items
+    )
+    hamming = " + ".join(
+        d.bit_count(d.xor(f"a.{b}", f"b.{b}")) for b in items
+    )
+    return f"""
+    WITH sets AS (SELECT doc_id, {shingles_expr(d)} AS sharr FROM {docs_rel}),
+    s AS (SELECT doc_id, {sel} FROM sets),
+    banded AS ({band_rows}),
+    candidates AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, CAST(({hamming}) AS INT) AS hamming
+      FROM candidates c
+      JOIN s a ON a.doc_id = c.doc_a
+      JOIN s b ON b.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, hamming FROM verified WHERE hamming <= {k}
     """

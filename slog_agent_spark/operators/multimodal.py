@@ -57,25 +57,51 @@ def extract_features(media: DataFrame) -> DataFrame:
     Real pipelines plug decode_* below into this exact shape: the UDF
     sees pandas batches with `payload` as bytes objects; output schema is
     declared up front so Spark plans downstream operators normally.
+
+    No per-row Python: struct fields are unpacked JVM-side before the
+    UDF, and the byte stats are computed on the Arrow binary buffers
+    directly (offsets + one numpy gather) — the whole batch is a handful
+    of vectorized ops.
     """
+    flat = media.select(
+        "doc_id", "kind", "payload",
+        F.col("meta.width").alias("meta_width"),
+        F.col("meta.duration_ms").alias("meta_duration_ms"),
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pyarrow as pa
+
         for pdf in it:
-            payloads = pdf["payload"]
+            arr = pa.array(pdf["payload"], type=pa.large_binary())
+            buffers = arr.buffers()  # [validity, offsets(int64), data]
+            offsets = np.frombuffer(buffers[1], dtype=np.int64)[
+                arr.offset : arr.offset + len(arr) + 1
+            ]
+            starts, ends = offsets[:-1], offsets[1:]
+            lens = ends - starts
+            if len(arr) and buffers[2] is not None:
+                data = np.frombuffer(buffers[2], dtype=np.uint8)
+                take = np.minimum(lens, 16)
+                cols = np.arange(16)[None, :]
+                mask = cols < take[:, None]
+                gather = np.where(mask, starts[:, None] + cols, 0)
+                head = (data[gather].astype(np.int64) * mask).sum(axis=1)
+            else:
+                head = np.zeros(len(arr), dtype=np.int64)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": payloads.map(len),
-                    "head_checksum": payloads.map(
-                        lambda b: int(sum(b[:16])) if b is not None else 0
-                    ),
-                    "meta_width": pdf["meta"].map(lambda m: m["width"]),
-                    "meta_duration_ms": pdf["meta"].map(lambda m: m["duration_ms"]),
+                    "n_bytes": lens.astype("int32"),
+                    "head_checksum": head.astype("int32"),
+                    "meta_width": pdf["meta_width"],
+                    "meta_duration_ms": pdf["meta_duration_ms"],
                 }
             )
 
-    return media.mapInPandas(batches, FEATURE_SCHEMA)
+    return flat.mapInPandas(batches, FEATURE_SCHEMA)
 
 
 def features_oracle_sql(d: SqlDialect, docs_rel: str = "documents") -> str:

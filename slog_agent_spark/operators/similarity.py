@@ -117,6 +117,139 @@ def ivf_topk_sql(
     """
 
 
+KMEANS_SAMPLE_MOD = 5    # deterministic 20% training sample (hash-picked)
+KMEANS_ITERS = 2
+TRAINED_CENTROIDS = 16   # trained variant oversegments (lists ≥ clusters)
+TRAINED_PROBES = 3
+
+
+def _arr_at(d: SqlDialect, arr: str, idx1: str) -> str:
+    """1-based array element access."""
+    if d.name == d.SPARK:
+        return f"element_at({arr}, CAST({idx1} AS INT))"
+    return f"{arr}[{idx1}]"
+
+
+def kmeans_centroids_ctes(
+    d: SqlDialect,
+    emb_rel: str = "embeddings",
+    n_centroids: int = IVF_CENTROIDS,
+    sample_mod: int = KMEANS_SAMPLE_MOD,
+    iters: int = KMEANS_ITERS,
+) -> tuple[str, str]:
+    """Sampled k-means, expressed in SQL (both dialects) → trained
+    centroids. Returns (cte_body, final_relation_name).
+
+    Deterministic end to end: fixed sample (vec_id % mod = 0), fixed
+    seeds (first C sample vectors), fixed iteration count, per-dimension
+    means rounded to 4 decimals each round (so float summation order
+    cannot flip an assignment between engines). Scale shape: the sample
+    is small by construction (train on a sample, standard IVF practice);
+    each iteration is one broadcast-join argmax + one per-dimension mean
+    aggregation.
+    """
+    dbl = "ARRAY<DOUBLE>" if d.name == d.SPARK else "DOUBLE[]"
+    vid_hash = d.hex_to_long(d.md5(d.to_string("vec_id")))
+    # hash-decorrelated deterministic sample + hash-ordered seeds: id
+    # arithmetic (vec_id % mod) correlates with id-derived data layouts
+    # and can collapse the whole sample into one or two natural clusters;
+    # hashing makes both the sample and the seed pick pseudo-random while
+    # staying engine-portable and deterministic.
+    parts = [
+        f"samp AS (SELECT vec_id, CAST(embedding AS {dbl}) AS emb "
+        f"FROM {emb_rel} WHERE ({vid_hash}) % {sample_mod} = 0)",
+        f"c0 AS (SELECT vec_id AS centroid_id, emb FROM ("
+        f"SELECT vec_id, emb FROM samp "
+        f"ORDER BY {d.md5(d.to_string('vec_id'))}, vec_id "
+        f"LIMIT {n_centroids}) z)",
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        cos = cosine_expr(d, "s.emb", "c.emb")
+        parts.append(
+            f"a{t} AS (SELECT vec_id, centroid_id FROM ("
+            f"SELECT s.vec_id, c.centroid_id, "
+            f"row_number() OVER (PARTITION BY s.vec_id "
+            f"ORDER BY {cos} DESC, c.centroid_id) AS rn "
+            f"FROM samp s CROSS JOIN {prev} c) x WHERE rn = 1)"
+        )
+        val = _arr_at(d, "s.emb", "t.pos")
+        if d.name == d.SPARK:
+            explode = (
+                f"FROM a{t} a JOIN samp s USING (vec_id) "
+                f"LATERAL VIEW explode(sequence(1, size(s.emb))) t AS pos"
+            )
+        else:
+            explode = (
+                f"FROM a{t} a JOIN samp s USING (vec_id) "
+                f"CROSS JOIN LATERAL (SELECT unnest(generate_series(1, "
+                f"len(s.emb))) AS pos) t"
+            )
+        parts.append(
+            f"d{t} AS (SELECT a.centroid_id, t.pos, avg({val}) AS v "
+            f"{explode} GROUP BY a.centroid_id, t.pos)"
+        )
+        if d.name == d.SPARK:
+            rebuild = (
+                "transform(array_sort(collect_list(struct(pos, v))), "
+                "x -> round(x.v, 4))"
+            )
+        else:
+            rebuild = "list(round(v, 4) ORDER BY pos)"
+        parts.append(
+            f"c{t} AS (SELECT centroid_id, {rebuild} AS emb "
+            f"FROM d{t} GROUP BY centroid_id)"
+        )
+        prev = f"c{t}"
+    return ", ".join(parts), prev
+
+
+def ann_ivf_trained_sql(
+    d: SqlDialect, query_vec_id: int = 0, k: int = TOPK,
+    emb_rel: str = "embeddings", probes: int = TRAINED_PROBES,
+    n_centroids: int = TRAINED_CENTROIDS,
+) -> str:
+    """ANN top-k over k-means-trained IVF lists (probe the best lists).
+
+    Same scale shape as the untrained variant — tiny centroid relation
+    (broadcast), probe pruning — but the lists follow the data's actual
+    clusters, so recall at equal probe count is higher
+    (tests/test_corpus_ops.py measures recall@k vs brute force).
+    """
+    kmeans, cents = kmeans_centroids_ctes(d, emb_rel, n_centroids=n_centroids)
+    cos_assign = cosine_expr(d, "e.embedding", "c.emb")
+    cos_q = cosine_expr(d, "e.embedding", "q.embedding")
+    cos_probe = cosine_expr(d, "c.emb", "q.embedding")
+    return f"""
+    WITH {kmeans},
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_assign} DESC, c.centroid_id) AS rn
+        FROM {emb_rel} e CROSS JOIN {cents} c
+      ) x WHERE rn = 1
+    ),
+    q AS (SELECT embedding FROM {emb_rel} WHERE vec_id = {query_vec_id}),
+    probe_set AS (
+      SELECT centroid_id FROM (
+        SELECT c.centroid_id,
+               row_number() OVER (ORDER BY {cos_probe} DESC, c.centroid_id) AS rn
+        FROM {cents} c CROSS JOIN q
+      ) rp WHERE rn <= {probes}
+    ),
+    pruned AS (
+      SELECT a.vec_id FROM assigned a
+      JOIN probe_set p ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id != {query_vec_id}
+    )
+    SELECT e.vec_id, e.label, {cos_q} AS cosine
+    FROM {emb_rel} e JOIN pruned USING (vec_id), q
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT {k}
+    """
+
+
 def embedding_neardup_sql(
     d: SqlDialect, threshold: float = 0.3, emb_rel: str = "embeddings"
 ) -> str:

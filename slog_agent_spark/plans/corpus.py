@@ -61,8 +61,14 @@ minhash_lsh_query, minhash_lsh_oracle = _sql_query(
 simhash_query, simhash_oracle = _sql_query(
     dedup.simhash_groups_sql, ("documents",)
 )
+simhash_neardup_query, simhash_neardup_oracle = _sql_query(
+    dedup.simhash_neardup_pairs_sql, ("documents",)
+)
 ngram_jaccard_query, ngram_jaccard_oracle = _sql_query(
     dedup.ngram_jaccard_pairs_sql, ("documents",)
+)
+ann_ivf_trained_query, ann_ivf_trained_oracle = _sql_query(
+    similarity.ann_ivf_trained_sql, ("embeddings",)
 )
 ann_bruteforce_query, ann_bruteforce_oracle = _sql_query(
     similarity.ann_bruteforce_sql, ("embeddings",)
