@@ -21,7 +21,9 @@ Timed queries mirror `benchmark agent --output null`
 Env knobs:
     SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS     local[] parallelism (default 32)
-    SLOG_BENCH_EXPLODE   turns per event (default 10 → 1M turns at sf0.1)
+    SLOG_BENCH_EXPLODE   turns per event (default 40 → 4M turns at sf0.1,
+                         so fixed per-job overhead stays <10% of the
+                         measured data time at 32 cores)
 """
 
 from __future__ import annotations
@@ -75,23 +77,41 @@ def run_bench(sf_dir: str, cpus: int, explode: int) -> dict:
         transcripts = spark.read.parquet(tdir)
         n_turns = transcripts.count()
 
-        def timed(name: str, fn, repeats: int = REPEATS):
-            # min-of-N: the sandbox host has bursty CPU steal; min is the
-            # standard noise-robust estimator for throughput benches
-            best = None
+        plan_secs: dict[str, float] = {}
+
+        def timed(name: str, build, repeats: int = REPEATS):
+            """min-of-N steady-state execution time.
+
+            ``build`` constructs a FRESH DataFrame each repeat — reusing
+            one DF would let Spark serve repeats from registered map-stage
+            shuffle outputs (measured: a 10M-row agg 'repeats' in 30ms).
+            Catalyst planning is forced untimed and reported separately
+            (fixed driver-side cost, amortized to zero at table scale;
+            codegen classes are cached across repeats by source hash).
+            """
+            best = plan_best = None
             for _ in range(max(repeats, 1)):
+                df = build()
                 t0 = time.time()
-                out = fn()
+                df._jdf.queryExecution().executedPlan().toString()
+                plan_el = time.time() - t0
+                t0 = time.time()
+                df.collect()
                 el = time.time() - t0
                 best = el if best is None else min(best, el)
+                plan_best = plan_el if plan_best is None else min(plan_best, plan_el)
             timings[name] = round(best, 3)
-            return out
+            plan_secs[name] = round(plan_best, 3)
+
+        def fresh():
+            # fresh scan each repeat → fresh RDD lineage → no stage reuse
+            return spark.read.parquet(tdir)
 
         timed(
             "parse_only",
-            lambda: parse_transcripts(transcripts)
-            .agg(F.sum(F.crc32("log")), F.sum("raw_length"))
-            .collect(),
+            lambda: parse_transcripts(fresh()).agg(
+                F.sum(F.crc32("log")), F.sum("raw_length")
+            ),
         )
         # full chain, null sink: conditional-agg checksums force every
         # column expression without a Filter node (a filter over the
@@ -99,36 +119,41 @@ def run_bench(sf_dir: str, cpus: int, explode: int) -> dict:
         keep = ~F.col("dropped")
         timed(
             "pipeline_null_sink",
-            lambda: P.transform_transcripts(transcripts)
-            .agg(
+            lambda: P.transform_transcripts(fresh()).agg(
                 F.sum(F.when(keep, 1)),
                 F.sum(F.when(keep, F.crc32("log"))),
                 F.sum(F.when(keep, F.crc32("tag"))),
                 F.sum(F.when(keep, F.crc32("task"))),
                 F.sum(F.when(keep, F.col("raw_length"))),
-            )
-            .collect(),
+            ),
         )
         # routed aggregate (the shuffle path)
         timed(
             "route_aggregate",
-            lambda: process_metrics(P.transform_transcripts(transcripts)).collect(),
+            lambda: process_metrics(P.transform_transcripts(fresh())),
         )
         # the full fan-out job: persist once → metrics + salted,
-        # turn-ordered, tag-partitioned sink write
-        timed(
-            "fanout_metrics_and_sinks",
-            lambda: P.run_fanout(
-                P.transform_transcripts(transcripts), f"{work}/sink"
-            ),
-        )
-        # compression evidence (untimed): sink bytes on disk vs raw input
-        # bytes — the reference headlines gzip 1:20-50 on production logs
-        # (reference: README.md:15, config_sample.yml:274); our sinks are
-        # zstd parquet, whose columnar+dict encoding plays the same role
+        # turn-ordered, tag-partitioned sink write (timed as a whole —
+        # it is a composite job, planning included)
+        best = None
+        for _ in range(max(REPEATS, 1)):
+            t0 = time.time()
+            P.run_fanout(P.transform_transcripts(fresh()), f"{work}/sink")
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        timings["fanout_metrics_and_sinks"] = round(best, 3)
+        # compression evidence (untimed): raw text bytes vs parquet DATA
+        # bytes in the sink. NOT a like-for-like analogue of the
+        # reference's gzip-over-serialized-stream ratio (README.md:15,
+        # 1:20-50 on production logs): the sink rows carry derived columns
+        # beyond text, and zstd-parquet columnar+dict encoding plays the
+        # compression role. Only *.parquet data files are counted
+        # (no _SUCCESS/CRC metadata).
         sink_bytes = sum(
             os.path.getsize(os.path.join(r, fn))
-            for r, _, fns in os.walk(f"{work}/sink") for fn in fns
+            for r, _, fns in os.walk(f"{work}/sink")
+            for fn in fns
+            if fn.endswith(".parquet")
         )
         raw_bytes = transcripts.agg(
             F.sum(F.octet_length("text"))
@@ -149,6 +174,7 @@ def run_bench(sf_dir: str, cpus: int, explode: int) -> dict:
         "cpus": cpus,
         "explode": explode,
         "turns_per_sec": round(n_turns / pipeline_sec, 1) if pipeline_sec else None,
+        "plan_secs": plan_secs,
         "sink_compression_ratio": compression_ratio,
     }
 
@@ -156,5 +182,5 @@ def run_bench(sf_dir: str, cpus: int, explode: int) -> dict:
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    explode = int(os.environ.get("SLOG_BENCH_EXPLODE", "10"))
+    explode = int(os.environ.get("SLOG_BENCH_EXPLODE", "40"))
     print(json.dumps(run_bench(sf_dir, cpus, explode)))

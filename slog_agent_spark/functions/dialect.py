@@ -108,6 +108,29 @@ class SqlDialect:
             return f"trim(BOTH {self.lit(chars)} FROM {col})"
         return f"trim({col}, {self.lit(chars)})"
 
+    def rtrim_chars(self, col: str, chars: str) -> str:
+        """Trim the given characters from the right end."""
+        if self.name == self.SPARK:
+            return f"trim(TRAILING {self.lit(chars)} FROM {col})"
+        return f"rtrim({col}, {self.lit(chars)})"
+
+    def locate(self, needle: str, col: str) -> str:
+        """1-based position of literal ``needle`` in col; 0 if absent."""
+        if self.name == self.SPARK:
+            return f"locate({self.lit(needle)}, {col})"
+        return f"strpos({col}, {self.lit(needle)})"
+
+    def locate_from(self, needle: str, col: str, start_1based: str) -> str:
+        """1-based position of ``needle`` in col at/after ``start``; 0 if
+        absent."""
+        if self.name == self.SPARK:
+            return f"locate({self.lit(needle)}, {col}, {start_1based})"
+        inner = f"strpos(substr({col}, {start_1based}), {self.lit(needle)})"
+        return (
+            f"(CASE WHEN {inner} = 0 THEN 0 "
+            f"ELSE {inner} + ({start_1based}) - 1 END)"
+        )
+
     def to_string(self, expr: str) -> str:
         t = "STRING" if self.name == self.SPARK else "VARCHAR"
         return f"CAST(({expr}) AS {t})"

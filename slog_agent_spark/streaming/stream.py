@@ -102,7 +102,12 @@ def _conv_progress_fn(key, pdfs, state):
     turns, nbytes = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         turns += len(pdf)
-        nbytes += int(pdf["text"].str.len().sum())
+        # fillna: a null text must count 0, like the batch twin's
+        # sum(length(text)); without it int(NaN) kills the whole query.
+        # Octet count (utf-8), matching octet_length/raw_length semantics.
+        nbytes += int(
+            pdf["text"].str.encode("utf-8").str.len().fillna(0).sum()
+        )
     state.update((turns, nbytes))
     yield pd.DataFrame({"conv_id": [key[0]], "turns": [turns], "bytes": [nbytes]})
 

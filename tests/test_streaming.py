@@ -76,7 +76,7 @@ def test_stateful_conversation_progress_matches_batch(spark, sf_dir):
             .groupBy("conv_id")
             .agg(
                 F.count("*").alias("turns"),
-                F.sum(F.length("text")).alias("bytes"),
+                F.sum(F.octet_length("text")).alias("bytes"),
             )
             .collect()
         }

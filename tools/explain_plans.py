@@ -107,8 +107,11 @@ def main() -> None:
     ))
     n_ex = len(re.findall(r"Exchange hashpartitioning", raw2))
     check("routed_counts: exactly one shuffle", n_ex == 1, f"{n_ex} exchanges")
-    check("routed_counts: partial agg before shuffle",
-          raw2.index("HashAggregate") < raw2.index("Exchange")
+    # plan toString() prints root-first, so the FINAL aggregate always
+    # precedes the Exchange textually — the map-side PARTIAL aggregate is
+    # the one that must appear BELOW (after) the Exchange line.
+    check("routed_counts: partial agg below (before) the shuffle",
+          raw2.rindex("HashAggregate") > raw2.index("Exchange")
           if "Exchange" in raw2 and "HashAggregate" in raw2 else False, "")
 
     # 3. column pruning evidence: a 2-column projection off the parse stage
