@@ -358,3 +358,33 @@ def parse_config(text: str) -> PipelineConfig:
 def load_config(path: str) -> PipelineConfig:
     with open(path, encoding="utf-8") as fh:
         return parse_config(fh.read())
+
+
+def validate_reload(old: PipelineConfig, new: PipelineConfig) -> None:
+    """Verify ``new`` is a legal hot-reload of ``old``.
+
+    Mirrors the reference's SIGHUP reload restrictions (reference:
+    run/reloader.go:1-139, config_sample.yml:41-47): schema fields are
+    append-only (never moved, renamed or removed — a record is a
+    positional array), maxFields itself cannot change, inputs including
+    extractions cannot change, orchestration type/keys/tag cannot change
+    (queue dirs are derived from them); metric keys MAY change.
+    Raises ConfigError on the first violation.
+    """
+    _require(new.max_fields == old.max_fields, "schema.maxFields",
+             f"cannot change on reload ({old.max_fields} -> {new.max_fields})")
+    n_old = len(old.schema_fields)
+    _require(new.schema_fields[:n_old] == old.schema_fields, "schema.fields",
+             "fields may only be appended on reload (no move/rename/remove)")
+    _require(len(new.schema_fields) <= new.max_fields, "schema.fields",
+             f"appended past maxFields ({len(new.schema_fields)} > {new.max_fields})")
+    _require(new.level_mapping == old.level_mapping,
+             "inputs[0].levelMapping", "cannot change on reload")
+    _require(new.extractions == old.extractions,
+             "inputs[0].extractions", "cannot change on reload")
+    _require(new.orchestration_type == old.orchestration_type,
+             "orchestration.type", "cannot change on reload")
+    _require(new.orchestration_keys == old.orchestration_keys,
+             "orchestration.keys", "cannot change on reload")
+    _require(new.orchestration_tag == old.orchestration_tag,
+             "orchestration.tag", "cannot change on reload")

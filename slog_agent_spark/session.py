@@ -25,6 +25,11 @@ _DEFAULTS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # The widest stages (full-schema select, serializer concat) compile
+    # to >64KB methods; by default Spark then abandons whole-stage
+    # codegen for the stage (interpreted eval). We disable huge-method
+    # JIT refusal below, so the compiled code is fine — keep codegen.
+    "spark.sql.codegen.hugeMethodLimit": "2000000000",
     # Parquet scans: keep splits big enough that task overhead doesn't
     # dominate at 100TB (default 128MB is fine; be explicit).
     "spark.sql.files.maxPartitionBytes": "134217728",
