@@ -27,6 +27,11 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--salt-buckets", type=int, default=64)
     ap.add_argument("--metrics-out", default=None)
+    ap.add_argument(
+        "--config", default=None,
+        help="pipeline YAML (reference config format); defaults to the "
+             "packaged flagship config",
+    )
     args = ap.parse_args(argv)
 
     from slog_agent_spark.operators.metrics import process_metrics, prometheus_dump
@@ -36,22 +41,30 @@ def main(argv: list[str]) -> int:
     from slog_agent_spark.session import build_session
     from slog_agent_spark.sinks.writers import read_table
 
+    pipeline_cfg = (
+        cfg.load_config(args.config) if args.config else cfg.DEFAULT_CONFIG
+    )
     spark = build_session(app_name="slog-agent-spark-pipeline")
     transcripts = read_table(spark, args.input)
-    transformed = transform_transcripts(transcripts).persist()
+    transformed = transform_transcripts(transcripts, pipeline_cfg).persist()
     try:
         config_repr = repr(
-            (cfg.SCHEMA_FIELDS, cfg.EXTRACTIONS, cfg.TRANSFORMATIONS,
-             cfg.ORCHESTRATION_KEYS, cfg.ORCHESTRATION_TAG, cfg.METRIC_KEYS)
+            (pipeline_cfg.schema_fields, pipeline_cfg.extractions,
+             pipeline_cfg.transformations, pipeline_cfg.orchestration_keys,
+             pipeline_cfg.orchestration_tag, pipeline_cfg.metric_keys)
         )
         fingerprint = f"count={transcripts.count()}"
         ckpt = SinkCheckpointer(
             args.output, config_repr, fingerprint, manifest_dir=args.checkpoint
         )
-        written = write_sinks_resumable(transformed, ckpt)
+        written = write_sinks_resumable(
+            transformed, ckpt, salt_buckets=args.salt_buckets
+        )
         print(f"committed {len(written)} sink partitions: {sorted(written)}")
 
-        dump = prometheus_dump(process_metrics(transformed))
+        dump = prometheus_dump(
+            process_metrics(transformed, pipeline_cfg), pipeline_cfg
+        )
         if args.metrics_out:
             with open(args.metrics_out, "w") as f:
                 f.write(dump)

@@ -77,10 +77,12 @@ def redact_email_exact(src: str) -> str:
     copied = 0
     s_end = len(src) - 1
     at = src.find("@")
-    while 0 <= at < s_end or (at == s_end and False):
-        if at >= s_end:
-            break
-        if at > copied - 1 and at > 0 and src[at - 1] in _WORD and src[at + 1] in _WORD:
+    if at == 0:  # '@' at position 0 can't form an email; try the next one
+        at = src.find("@", 1)
+    # … nor can one at the last index (reference: redactemail.go:43
+    # "ignore src[0] and src[len-1]")
+    while 0 < at < s_end:
+        if src[at - 1] in _WORD and src[at + 1] in _WORD:
             start = _email_start(src, at, copied)
             end = _email_end(src, at) if start != -1 else -1
             if start != -1 and end != -1:

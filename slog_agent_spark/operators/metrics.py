@@ -15,31 +15,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.config import ALL_LABELS, METRIC_KEYS, ORCHESTRATION_KEYS
+from ..plans.config import DEFAULT_CONFIG
+from ..plans.yaml_config import PipelineConfig
 
 
 def label_col(label: str) -> str:
     return "lbl_" + label.replace("!", "not_").replace("-", "_")
 
 
-def process_metrics(transformed: DataFrame) -> DataFrame:
+def process_metrics(
+    transformed: DataFrame, cfg: PipelineConfig | None = None
+) -> DataFrame:
     """Wide per-keyset counter table from the transformed (pre-filter) DF."""
+    cfg = cfg or DEFAULT_CONFIG
     aggs = [
         F.sum(F.when(~F.col("dropped"), 1).otherwise(0)).alias("passed_records"),
         F.sum(F.when(~F.col("dropped"), F.col("raw_length")).otherwise(0)).alias("passed_bytes"),
         F.sum(F.when(F.col("dropped"), 1).otherwise(0)).alias("dropped_records"),
         F.sum(F.when(F.col("dropped"), F.col("raw_length")).otherwise(0)).alias("dropped_bytes"),
     ]
-    for label in ALL_LABELS:
+    for label in cfg.labels:
         c = label_col(label)
         aggs.append(F.sum(F.when(F.col(c), 1).otherwise(0)).alias(f"{c}_records"))
         aggs.append(
             F.sum(F.when(F.col(c), F.col("raw_length")).otherwise(0)).alias(f"{c}_bytes")
         )
-    return transformed.groupBy(*ORCHESTRATION_KEYS, *METRIC_KEYS).agg(*aggs)
+    return transformed.groupBy(
+        *cfg.orchestration_keys, *cfg.metric_keys
+    ).agg(*aggs)
 
 
-def prometheus_dump(metrics: DataFrame) -> str:
+def prometheus_dump(
+    metrics: DataFrame, cfg: PipelineConfig | None = None
+) -> str:
     """Render the wide counter table as sorted Prometheus text lines.
 
     Shape mirrors the reference's process counters, e.g.
@@ -47,8 +55,9 @@ def prometheus_dump(metrics: DataFrame) -> str:
     Labelled counters get a ``label`` attribute like the reference's
       slogagent_process_labelled_records_total{...,label="redacted"} N
     """
+    cfg = cfg or DEFAULT_CONFIG
     rows = metrics.collect()
-    key_cols = ORCHESTRATION_KEYS + METRIC_KEYS
+    key_cols = cfg.orchestration_keys + cfg.metric_keys
     lines: list[str] = []
     for row in rows:
         keys = ",".join(f'key_{k}="{row[k]}"' for k in key_cols)
@@ -58,7 +67,7 @@ def prometheus_dump(metrics: DataFrame) -> str:
                 lines.append(
                     f"slogagent_process_{kind}_{unit}_total{{{keys}}} {v}"
                 )
-        for label in ALL_LABELS:
+        for label in cfg.labels:
             c = label_col(label)
             for unit in ("records", "bytes"):
                 v = row[f"{c}_{unit}"]

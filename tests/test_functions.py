@@ -125,3 +125,26 @@ def test_match_and_semantics(spark, duck):
     assert eval_both(spark, duck, lambda d: compile_match(d, cond), fields)
     fields["level"] = "notice"
     assert not eval_both(spark, duck, lambda d: compile_match(d, cond), fields)
+
+
+DIALECT_HELPER_CASES = [
+    # (builder over dialect d, fields, expected)
+    (lambda d: d.locate("] - ", "log"), {"log": "[C] - x"}, 3),
+    (lambda d: d.locate("zz", "log"), {"log": "[C] - x"}, 0),
+    (lambda d: d.locate_from("-", "log", "3"), {"log": "a-b-c"}, 4),
+    (lambda d: d.locate_from("-", "log", "5"), {"log": "a-b-c"}, 0),
+    (lambda d: d.rtrim_chars("s", "0123456789abcdef-"),
+     {"s": "cron.log:123e4-a"}, "cron.log:"),
+    (lambda d: d.rtrim_chars("s", "xy"), {"s": "abc"}, "abc"),
+    (lambda d: d.hex_digit("substr(s, 1, 1)"), {"s": "f0"}, 15),
+    (lambda d: d.bit_count(d.xor("CAST(5 AS BIGINT)", "CAST(3 AS BIGINT)")),
+     {"s": "x"}, 2),
+]
+
+
+@pytest.mark.parametrize("builder,fields,expected", DIALECT_HELPER_CASES)
+def test_dialect_helpers_dual_engine(spark, duck, builder, fields, expected):
+    """locate/rtrim/hex/xor helpers power the regex-free extract paths —
+    both engines must agree exactly (values compared as strings/ints)."""
+    got = eval_both(spark, duck, builder, fields)
+    assert got == expected

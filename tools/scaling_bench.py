@@ -290,8 +290,9 @@ def render(ev: dict, out_path: str) -> None:
         f"level here: {hi32['turns_per_sec']:,.0f} turns/s on "
         f"{hi32['cpus']} cores "
         f"= {hi32['turns_per_sec'] / hi32['cpus']:,.0f} turns/s/core.",
-        "Turns here are full transcript rows through grok parse + 20-step",
-        "chain incl. email-redaction scanning; the per-core gap vs the",
+        "Turns here are full transcript rows through the one-pass split",
+        "parse + 20-step transform chain (regex only where string ops",
+        "can't express the semantics); any remaining per-core gap vs the",
         "hand-tuned Go agent is the price of an engine that scales",
         "horizontally — the rule's criterion is the scaling efficiency",
         "(see Result above), not single-core parity.",
