@@ -151,6 +151,21 @@ def main() -> None:
     check("lsh: no cartesian/nested-loop",
           "Cartesian" not in raw5 and "NestedLoop" not in raw5, "")
 
+    # 6. SimHash banded-Hamming near-dup join shape
+    sn = C.simhash_neardup_query(spark, sf)
+    raw6 = plan_of(sn)
+    check("simhash-neardup: no cartesian/nested-loop",
+          "Cartesian" not in raw6 and "NestedLoop" not in raw6, "")
+
+    # 7. trained IVF: centroid side must broadcast (tiny relation),
+    # never a shuffle-heavy sort-merge against the corpus
+    iv = C.ann_ivf_trained_query(spark, sf)
+    raw7 = plan_of(iv)
+    check("ivf-trained: centroid joins broadcast",
+          "BroadcastHashJoin" in raw7 or "BroadcastNestedLoopJoin" in raw7,
+          "")
+    check("ivf-trained: no cartesian", "CartesianProduct" not in raw7, "")
+
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         f.write("# BENCH/PLANS — physical-plan audit of the headline queries\n\n")
