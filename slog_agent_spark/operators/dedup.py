@@ -226,6 +226,11 @@ def simhash_groups_sql(d: SqlDialect, docs_rel: str = "documents") -> str:
 # Hamming distance ≤ SIMHASH_HAMMING_K shares at least one exact band
 # (pigeonhole: k < number of bands), so the band-equality join has exact
 # recall; verification computes the true distance via bit_count(xor).
+#
+# Scale note: expected bucket size per band is n / 2^SIMHASH_BAND_BITS —
+# 16-bit bands are right for fixture/10^6-doc corpora, but at 10^9+ docs
+# they collide massively; widen to 4×32-bit bands over a 128-bit sketch
+# (md5 supplies all 128 bits; same construction, hex digits 1..32).
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = 16
 SIMHASH_HAMMING_K = 3

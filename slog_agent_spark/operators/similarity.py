@@ -140,13 +140,17 @@ def kmeans_centroids_ctes(
     """Sampled k-means, expressed in SQL (both dialects) → trained
     centroids. Returns (cte_body, final_relation_name).
 
-    Deterministic end to end: fixed sample (vec_id % mod = 0), fixed
-    seeds (first C sample vectors), fixed iteration count, per-dimension
-    means rounded to 4 decimals each round (so float summation order
-    cannot flip an assignment between engines). Scale shape: the sample
-    is small by construction (train on a sample, standard IVF practice);
-    each iteration is one broadcast-join argmax + one per-dimension mean
-    aggregation.
+    Deterministic end to end: fixed hash-picked sample, fixed
+    hash-ordered seeds, fixed iteration count, per-dimension means
+    rounded to 4 decimals each round (so float summation order cannot
+    flip an assignment between engines). Each iteration is one
+    broadcast-join argmax + one per-dimension mean aggregation over the
+    sample only.
+
+    Scale note: the sample is 1/``sample_mod`` of the corpus — at 10^12
+    vectors the CALLER must raise ``sample_mod`` so n/sample_mod lands
+    in the usual IVF training budget (~10^5-10^6 vectors); the fixture
+    default (20%) is sized for the test corpora.
     """
     dbl = "ARRAY<DOUBLE>" if d.name == d.SPARK else "DOUBLE[]"
     vid_hash = d.hex_to_long(d.md5(d.to_string("vec_id")))
