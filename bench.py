@@ -159,6 +159,30 @@ def run_bench(sf_dir: str, cpus: int, explode: int) -> dict:
             F.sum(F.octet_length("text"))
         ).collect()[0][0] or 0
         compression_ratio = round(raw_bytes / sink_bytes, 2) if sink_bytes else None
+        # like-for-like analogue of the reference's chunk compression
+        # claim (gzip over the serialized event stream, 1:20-50 on
+        # production logs): gzip a 50k-event sample of OUR serialized
+        # fluentd events (untimed)
+        import zlib
+
+        from slog_agent_spark.functions.dialect import SPARK
+        from slog_agent_spark.plans.config import OUTPUTS, SCHEMA_FIELDS
+        from slog_agent_spark.sinks.serializers import fluentd_event
+
+        ev = (
+            P.transform_transcripts(fresh())
+            .where("NOT dropped")
+            .limit(50000)
+            .select(F.expr(
+                fluentd_event(SPARK, OUTPUTS["customFluentd"], "tag", SCHEMA_FIELDS)
+            ).alias("e"))
+            .collect()
+        )
+        stream = "\n".join(r["e"] for r in ev).encode()
+        event_gzip_ratio = (
+            round(len(stream) / len(zlib.compress(stream, 6)), 2)
+            if stream else None
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
@@ -176,6 +200,7 @@ def run_bench(sf_dir: str, cpus: int, explode: int) -> dict:
         "turns_per_sec": round(n_turns / pipeline_sec, 1) if pipeline_sec else None,
         "plan_secs": plan_secs,
         "sink_compression_ratio": compression_ratio,
+        "event_gzip_ratio": event_gzip_ratio,
     }
 
 
