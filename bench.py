@@ -21,9 +21,10 @@ Timed queries mirror `benchmark agent --output null`
 Env knobs:
     SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS     local[] parallelism (default 32)
-    SLOG_BENCH_EXPLODE   turns per event (default 40 → 4M turns at sf0.1,
-                         so fixed per-job overhead stays <10% of the
-                         measured data time at 32 cores)
+    SLOG_BENCH_EXPLODE   turns per event (default 20 → 2M turns at sf0.1:
+                         big enough that fixed per-job overhead stays
+                         <10% of measured data time at 32 cores, small
+                         enough for a bounded driver-run wall clock)
 """
 
 from __future__ import annotations
@@ -46,7 +47,7 @@ from slog_agent_spark.sources.parser import parse_transcripts  # noqa: E402
 from slog_agent_spark.sources.transcripts import transcripts_df  # noqa: E402
 
 
-REPEATS = int(os.environ.get("SLOG_BENCH_REPEATS", "2"))
+REPEATS = int(os.environ.get("SLOG_BENCH_REPEATS", "3"))
 
 
 def run_bench(sf_dir: str, cpus: int, explode: int) -> dict:
@@ -207,5 +208,5 @@ def run_bench(sf_dir: str, cpus: int, explode: int) -> dict:
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    explode = int(os.environ.get("SLOG_BENCH_EXPLODE", "40"))
+    explode = int(os.environ.get("SLOG_BENCH_EXPLODE", "20"))
     print(json.dumps(run_bench(sf_dir, cpus, explode)))
