@@ -236,21 +236,29 @@ SIMHASH_BAND_BITS = 16
 SIMHASH_HAMMING_K = 3
 
 
-def simhash_band_items(d: SqlDialect, arr_col: str = "sharr") -> dict[str, str]:
-    """4×16-bit SimHash bands (64 bits total, majority vote per bit) over
-    an already-materialized shingle-hash array column.
+def simhash_band_items(
+    d: SqlDialect,
+    arr_col: str = "sharr",
+    bands: int = SIMHASH_BANDS,
+    band_bits: int = SIMHASH_BAND_BITS,
+) -> dict[str, str]:
+    """``bands`` × ``band_bits``-bit SimHash bands (majority vote per bit)
+    over an already-materialized shingle-hash array column.
 
-    Bit (band b, r) := bit r%4 of hex digit 4b + r//4 of each shingle's
-    md5 — 16 hex digits cover all 64 bits. Pure per-row projection: no
-    shuffle, cost linear in shingles × bits, embarrassingly parallel.
+    Bit (band b, r) := bit r%4 of hex digit b*(band_bits/4) + r//4 of each
+    shingle's md5 — md5's 32 hex digits supply up to 128 sketch bits
+    (4×32-bit bands, the sizing for 10^9+ docs). Pure per-row projection:
+    no shuffle, cost linear in shingles × bits, embarrassingly parallel.
     """
+    assert band_bits % 4 == 0 and bands * band_bits <= 128
     sh = arr_col
     n = _size(d, sh)
+    digits_per_band = band_bits // 4
     items: dict[str, str] = {}
-    for b in range(SIMHASH_BANDS):
+    for b in range(bands):
         terms = []
-        for r in range(SIMHASH_BAND_BITS):
-            digit_pos = b * 4 + r // 4 + 1  # 1-based hex digit index
+        for r in range(band_bits):
+            digit_pos = b * digits_per_band + r // 4 + 1  # 1-based
             bit = r % 4
             val = d.hex_digit(f"substr(x, {digit_pos}, 1)")
             pred = f"((({val}) >> {bit}) & 1) = 1"
@@ -259,24 +267,30 @@ def simhash_band_items(d: SqlDialect, arr_col: str = "sharr") -> dict[str, str]:
             else:
                 cnt = f"len(list_filter({sh}, x -> {pred}))"
             terms.append(
-                f"(CASE WHEN 2 * ({cnt}) > {n} THEN {1 << r} ELSE 0 END)"
+                f"(CASE WHEN 2 * ({cnt}) > {n} "
+                f"THEN CAST({1 << r} AS BIGINT) ELSE 0 END)"
             )
         items[f"sb{b}"] = "(" + " + ".join(terms) + ")"
     return items
 
 
 def simhash_neardup_pairs_sql(
-    d: SqlDialect, docs_rel: str = "documents", k: int = SIMHASH_HAMMING_K
+    d: SqlDialect,
+    docs_rel: str = "documents",
+    k: int = SIMHASH_HAMMING_K,
+    bands: int = SIMHASH_BANDS,
+    band_bits: int = SIMHASH_BAND_BITS,
 ) -> str:
-    """Near-dup pairs at Hamming distance ≤ k over the 64-bit SimHash.
+    """Near-dup pairs at Hamming distance ≤ k over a bands×band_bits
+    SimHash sketch (default 64-bit; 4×32 = the 10^9-doc sizing).
 
     Scale shape mirrors MinHash-LSH: sketch projection (no shuffle) →
     explode to (band_id, band_key) → self-join on the band key (the only
     shuffle) → distinct candidate pairs → verify true Hamming distance.
-    Exact recall for k < SIMHASH_BANDS by pigeonhole.
+    Exact recall for k < bands by pigeonhole.
     """
-    assert k < SIMHASH_BANDS, "banding guarantees recall only for k < bands"
-    items = simhash_band_items(d)
+    assert k < bands, "banding guarantees recall only for k < bands"
+    items = simhash_band_items(d, bands=bands, band_bits=band_bits)
     sel = ", ".join(f"{e} AS {k2}" for k2, e in items.items())
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_key, '{b}' AS band_id FROM s"
