@@ -161,10 +161,17 @@ def run_fanout(
         metrics.count()  # materialize cache + metrics together
         keys = [F.col(k) for k in ORCHESTRATION_KEYS]
         salt = F.pmod(F.xxhash64("conv_id"), F.lit(max(salt_buckets, 1)))
+        # "tag" leads the sort: a dynamic-partition write requires rows
+        # ordered by the partition column, and when the child ordering
+        # doesn't start with it Spark inserts its OWN sort by tag alone —
+        # whose stability (and hence the per-sink (conv_id, turn_idx) FIFO
+        # guarantee, reference: orchestrate/obykeyset/orchestrator.go:106)
+        # would then be an implementation detail of SortExec. Leading with
+        # tag satisfies the writer's required ordering by construction.
         writer = (
             transformed.where("NOT dropped")
             .repartition(*keys, salt)
-            .sortWithinPartitions("conv_id", "turn_idx")
+            .sortWithinPartitions("tag", "conv_id", "turn_idx")
             .write.mode("overwrite")
         )
         if max_records_per_file > 0:

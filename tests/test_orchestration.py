@@ -50,3 +50,27 @@ def test_max_records_per_file_cap(spark, sf_dir):
             # each file obeys the cap (reference chunk flush limit)
             n = spark.read.parquet(f).count()
             assert n <= 50, f
+
+
+def test_fanout_sink_files_turn_ordered(spark, sf_dir):
+    """Every sink file preserves (conv_id, turn_idx) FIFO order.
+
+    The dynamic-partition writer requires rows sorted by the partition
+    column; run_fanout leads its sortWithinPartitions with "tag" so no
+    writer-inserted re-sort (of unguaranteed stability) can scramble the
+    per-conversation turn order (reference FIFO guarantee:
+    orchestrate/obykeyset/orchestrator.go:106-119).
+    """
+    tf = P.transformed_df(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as root:
+        sink = os.path.join(root, "sink")
+        P.run_fanout(tf, sink)
+        files = glob.glob(os.path.join(sink, "tag=*", "*.parquet"))
+        assert files
+        checked = 0
+        for f in files:
+            rows = spark.read.parquet(f).select("conv_id", "turn_idx").collect()
+            got = [(r["conv_id"], r["turn_idx"]) for r in rows]
+            assert got == sorted(got), f
+            checked += len(got)
+        assert checked > 0
