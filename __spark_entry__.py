@@ -95,6 +95,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": C.ann_ivf_query,
         "ann_topk_ivf_trained": C.ann_ivf_trained_query,
         "embedding_neardup_ivf": C.emb_neardup_query,
+        "embedding_neardup_exact": C.emb_neardup_exact_query,
+        "embedding_neardup_trained": C.emb_neardup_trained_query,
+        "corpus_stats": C.corpus_stats_query,
         "multimodal_feature_extract": lambda spark, sf: _mm_features(spark, sf),
     }
 
@@ -138,6 +141,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": C.ann_ivf_oracle(),
         "ann_topk_ivf_trained": C.ann_ivf_trained_oracle(),
         "embedding_neardup_ivf": C.emb_neardup_oracle(),
+        "embedding_neardup_exact": C.emb_neardup_exact_oracle(),
+        "embedding_neardup_trained": C.emb_neardup_trained_oracle(),
+        "corpus_stats": C.corpus_stats_oracle(),
         "multimodal_feature_extract": _mm_oracle(),
     }
 

@@ -273,3 +273,67 @@ def embedding_neardup_sql(
     JOIN {emb_rel} eb ON eb.vec_id = b.vec_id
     WHERE {cos} >= {threshold}
     """
+
+
+def embedding_neardup_exact_sql(
+    d: SqlDialect, threshold: float = 0.3, emb_rel: str = "embeddings"
+) -> str:
+    """Embedding-cosine near-duplicate pairs, exact all-pairs baseline.
+
+    O(n²) comparisons — this is the VERIFICATION tier: run it on a
+    sample (or a fixture) to measure the recall of the IVF-bucketed
+    variant (`embedding_neardup_sql`), never on the full corpus. At
+    100 TB the bucketed join is the only viable shape; this query is
+    what its recall is measured against (tests/test_corpus_ops.py).
+    """
+    cos = cosine_expr(d, "ea.embedding", "eb.embedding")
+    return f"""
+    SELECT ea.vec_id AS vec_a, eb.vec_id AS vec_b, {cos} AS cosine
+    FROM {emb_rel} ea
+    JOIN {emb_rel} eb ON ea.vec_id < eb.vec_id
+    WHERE {cos} >= {threshold}
+    """
+
+
+def embedding_neardup_trained_sql(
+    d: SqlDialect,
+    threshold: float = 0.3,
+    emb_rel: str = "embeddings",
+    n_centroids: int = TRAINED_CENTROIDS,
+    assign_r: int = 2,
+) -> str:
+    """Near-duplicate pairs over k-means-trained IVF lists with
+    multi-assignment: every vector lands in its ``assign_r`` closest
+    lists, and a pair is compared when ANY list is shared — the standard
+    fix for near-dups straddling a bucket boundary (single-assignment
+    loses exactly the pairs whose two members argmax into different
+    lists; tests/test_ivf_recall.py measures the recall difference).
+
+    Scale shape: centroid relation is tiny (broadcast); candidate set is
+    ~assign_r² × in-bucket pairs, never O(n²); DISTINCT dedups the
+    multi-list collisions before the (expensive) cosine verify.
+    """
+    kmeans, cents = kmeans_centroids_ctes(d, emb_rel, n_centroids=n_centroids)
+    cos_assign = cosine_expr(d, "e.embedding", "c.emb")
+    cos = cosine_expr(d, "ea.embedding", "eb.embedding")
+    return f"""
+    WITH {kmeans},
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_assign} DESC, c.centroid_id) AS rn
+        FROM {emb_rel} e CROSS JOIN {cents} c
+      ) x WHERE rn <= {assign_r}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM assigned a
+      JOIN assigned b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b, {cos} AS cosine
+    FROM cand c
+    JOIN {emb_rel} ea ON ea.vec_id = c.vec_a
+    JOIN {emb_rel} eb ON eb.vec_id = c.vec_b
+    WHERE {cos} >= {threshold}
+    """

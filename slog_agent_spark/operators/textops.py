@@ -135,3 +135,50 @@ def fingerprint_items(d: SqlDialect, text_col: str = "text") -> dict[str, str]:
         "content_hash": d.md5(joined),
         "winnow_fingerprint": win_min,
     }
+
+
+def corpus_stats_sql(d: SqlDialect, rel: str = "documents") -> str:
+    """Per-language corpus rollup: the report every pretraining-data
+    pipeline runs before a training mix is cut (doc counts, token
+    budgets, mean quality ratios per predicted language).
+
+    Scale shape: one projection (language-ID + token counts per doc,
+    whole-stage codegen) feeding one groupBy over a low-cardinality key
+    — map-side partial aggregation makes the shuffle O(|langs| × tasks)
+    regardless of corpus size.
+
+    Cross-engine determinism: DOUBLE ratio columns are fixed-point
+    scaled to BIGINT micro-units per doc BEFORE the aggregate, so the
+    sum is integer (order-independent); averages come from ONE division
+    of exact integers. `floor(x*1e6 + 0.5)` is used instead of
+    CAST(round(..)) because CAST(double AS BIGINT) truncates in Spark
+    but rounds in DuckDB.
+    """
+    t = token_count_items(d)
+    q = quality_items(d)
+    lang = langid_items(d)["lang_pred"]
+
+    def micro(expr: str) -> str:
+        return f"CAST(floor(({expr}) * 1000000 + 0.5) AS BIGINT)"
+
+    return f"""
+    WITH per_doc AS (
+      SELECT {lang} AS lang_pred,
+             {t['n_tokens']} AS n_tokens,
+             {t['bpe_token_estimate']} AS bpe_tokens,
+             {micro(q['stopword_ratio'])} AS stop_u,
+             {micro(q['distinct_ratio'])} AS distinct_u
+      FROM {rel}
+    )
+    SELECT lang_pred,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+           round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 4) AS avg_tokens,
+           round(CAST(sum(stop_u) AS DOUBLE) / count(*) / 1000000, 6)
+             AS avg_stopword_ratio,
+           round(CAST(sum(distinct_u) AS DOUBLE) / count(*) / 1000000, 6)
+             AS avg_distinct_ratio
+    FROM per_doc
+    GROUP BY lang_pred
+    """

@@ -79,3 +79,12 @@ ann_ivf_query, ann_ivf_oracle = _sql_query(
 emb_neardup_query, emb_neardup_oracle = _sql_query(
     similarity.embedding_neardup_sql, ("embeddings",)
 )
+emb_neardup_exact_query, emb_neardup_exact_oracle = _sql_query(
+    similarity.embedding_neardup_exact_sql, ("embeddings",)
+)
+corpus_stats_query, corpus_stats_oracle = _sql_query(
+    textops.corpus_stats_sql, ("documents",)
+)
+emb_neardup_trained_query, emb_neardup_trained_oracle = _sql_query(
+    similarity.embedding_neardup_trained_sql, ("embeddings",)
+)

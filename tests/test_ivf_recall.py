@@ -73,3 +73,32 @@ def test_kmeans_is_deterministic(con):
     km, cents = S.kmeans_centroids_ctes(DUCKDB, "embeddings")
     q = f"WITH {km} SELECT centroid_id, emb FROM {cents} ORDER BY centroid_id"
     assert con.execute(q).fetchall() == con.execute(q).fetchall()
+
+
+def test_neardup_ivf_subset_and_recall_on_clustered(con):
+    """IVF-bucketed near-dup vs the exact all-pairs baseline.
+
+    Guaranteed: bucketing only PRUNES candidates, so its pairs are a
+    strict subset of the exact query's. Measured: on clustered data
+    (where near-dups actually live inside clusters) the bucketed join
+    keeps high pair recall — the property that lets the O(n²) exact tier
+    stay a fixture/sample-only verification tool at 100 TB.
+    """
+    thr = 0.6  # in-cluster pairs on this corpus sit well above this
+    exact = {
+        (r[0], r[1])
+        for r in con.execute(
+            S.embedding_neardup_exact_sql(DUCKDB, threshold=thr)
+        ).fetchall()
+    }
+
+    def pairs(builder):
+        return {(r[0], r[1]) for r in con.execute(builder).fetchall()}
+
+    naive = pairs(S.embedding_neardup_sql(DUCKDB, threshold=thr))
+    trained = pairs(S.embedding_neardup_trained_sql(DUCKDB, threshold=thr))
+    assert exact, "fixture must contain near-dup pairs at this threshold"
+    assert naive <= exact and trained <= exact  # bucketing only prunes
+    recall = len(trained) / len(exact)
+    assert recall >= 0.9, f"trained near-dup pair recall = {recall}"
+    assert len(trained) > len(naive)  # k-means lists + multi-assign win
