@@ -184,6 +184,27 @@ def run_bench(sf_dir: str, cpus: int, explode: int) -> dict:
             round(len(stream) / len(zlib.compress(stream, 6)), 2)
             if stream else None
         )
+        # LLM-corpus operator timings (evidence only — NOT part of the
+        # headline `value`, which stays the 4-query pipeline metric):
+        # one execution each over the sf documents/embeddings tables,
+        # exercising the scale-shaped paths (LSH band join, posting-list
+        # join, banded-Hamming join, k-means + bucketed near-dup join,
+        # map-side-partial rollup).
+        corpus_secs: dict[str, float] = {}
+        if os.environ.get("SLOG_BENCH_CORPUS", "1") == "1":
+            from slog_agent_spark.plans import corpus as CQ
+
+            for name, q in (
+                ("dedup_minhash_lsh", CQ.minhash_lsh_query),
+                ("dedup_ngram_jaccard", CQ.ngram_jaccard_query),
+                ("dedup_simhash_neardup", CQ.simhash_neardup_query),
+                ("embedding_neardup_trained", CQ.emb_neardup_trained_query),
+                ("ann_topk_ivf_trained", CQ.ann_ivf_trained_query),
+                ("corpus_stats", CQ.corpus_stats_query),
+            ):
+                t0 = time.time()
+                q(spark, sf_dir).collect()
+                corpus_secs[name] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
@@ -202,6 +223,7 @@ def run_bench(sf_dir: str, cpus: int, explode: int) -> dict:
         "plan_secs": plan_secs,
         "sink_compression_ratio": compression_ratio,
         "event_gzip_ratio": event_gzip_ratio,
+        "corpus_secs": corpus_secs,
     }
 
 

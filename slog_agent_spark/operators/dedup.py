@@ -46,18 +46,26 @@ def shingles_expr(d: SqlDialect, text_col: str = "text") -> str:
     )
 
 
-def minhash_items(d: SqlDialect, text_col: str = "text") -> dict[str, str]:
-    """MinHash signature: k independent min-hashes over the shingle set."""
-    sh = shingles_expr(d, text_col)
+def minhash_items(d: SqlDialect, arr_col: str = "shingle_set") -> dict[str, str]:
+    """MinHash signature: k independent min-hashes over an
+    ALREADY-MATERIALIZED shingle-hash array column.
+
+    Like :func:`simhash_items`, callers must project the shingle array
+    once first: inlining shingles_expr here would rebuild the
+    tokenize+slice+md5 pipeline per hash seed (measured ~10× slowdown —
+    the two-level projection blocks CollapseProject because the alias is
+    non-cheap and referenced K times). The min is insensitive to
+    duplicate shingles, so the distinct set works for both the signature
+    and the Jaccard verify."""
     items: dict[str, str] = {}
     for i in range(MINHASH_K):
         if d.name == d.SPARK:
             items[f"mh{i}"] = (
-                f"array_min(transform({sh}, x -> md5(concat(x, 'seed{i}'))))"
+                f"array_min(transform({arr_col}, x -> md5(concat(x, 'seed{i}'))))"
             )
         else:
             items[f"mh{i}"] = (
-                f"list_min(list_transform({sh}, x -> md5(x || 'seed{i}')))"
+                f"list_min(list_transform({arr_col}, x -> md5(x || 'seed{i}')))"
             )
     return items
 
@@ -94,30 +102,43 @@ def jaccard_expr(d: SqlDialect, a: str, b: str) -> str:
     return f"round(CAST({inter} AS DOUBLE) / greatest({union}, 1), 6)"
 
 
-def minhash_lsh_pairs_sql(d: SqlDialect, docs_rel: str = "documents") -> str:
-    """Candidate pairs from LSH band buckets, verified by true Jaccard.
+def minhash_signatures_sql(d: SqlDialect, docs_rel: str = "documents") -> str:
+    """Stage 1 of MinHash-LSH: (doc_id, shingle_set, mh0..mhK-1).
 
-    Scale shape: signature projection → explode to (band_key, doc) →
-    self-join on band_key (the only shuffle) → distinct pairs → verify.
+    Split out so the Spark runner can MATERIALIZE it once: the pairs
+    query references the signature relation four ways (band explode +
+    both sides of the candidate self-join + both sides of the verify
+    join), and an inlined CTE re-executes the whole shingle+md5 pipeline
+    per reference (measured ~2-4× on the fixture). At corpus scale this
+    stage is a stored signature table anyway — computed once per
+    ingestion batch, joined many times.
     """
     mh = minhash_items(d)
     mh_sel = ", ".join(f"{e} AS {k}" for k, e in mh.items())
-    bands = band_exprs(d)
-    band_sel = ", ".join(f"{e} AS {k}" for k, e in bands.items())
     sh = shingles_expr(d)
     dedup_shingles = (
         f"array_distinct({sh})" if d.name == d.SPARK else f"list_distinct({sh})"
     )
+    return f"""
+    WITH sets AS (
+      SELECT doc_id, {dedup_shingles} AS shingle_set FROM {docs_rel}
+    )
+    SELECT doc_id, shingle_set, {mh_sel} FROM sets
+    """
+
+
+def minhash_pairs_ctes(d: SqlDialect, sigs_rel: str) -> str:
+    """CTE chain from a signature relation to verified pairs (shared by
+    the staged Spark runner and the single-SQL oracle composition)."""
+    bands = band_exprs(d)
+    band_sel = ", ".join(f"{e} AS {k}" for k, e in bands.items())
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, shingle_set, '{b}' AS band_id, {b} AS band_key FROM sigs"
         for b in bands
     )
     jac = jaccard_expr(d, "a.shingle_set", "b.shingle_set")
     return f"""
-    WITH sig0 AS (
-      SELECT doc_id, {dedup_shingles} AS shingle_set, {mh_sel} FROM {docs_rel}
-    ),
-    sigs AS (SELECT doc_id, shingle_set, {band_sel} FROM sig0),
+    sigs AS (SELECT doc_id, shingle_set, {band_sel} FROM {sigs_rel}),
     banded AS ({band_rows}),
     candidates AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -128,12 +149,38 @@ def minhash_lsh_pairs_sql(d: SqlDialect, docs_rel: str = "documents") -> str:
     verified AS (
       SELECT c.doc_a, c.doc_b, {jac} AS jaccard
       FROM candidates c
-      JOIN sig0 a ON a.doc_id = c.doc_a
-      JOIN sig0 b ON b.doc_id = c.doc_b
+      JOIN {sigs_rel} a ON a.doc_id = c.doc_a
+      JOIN {sigs_rel} b ON b.doc_id = c.doc_b
+    )"""
+
+
+MINHASH_PAIRS_FINAL = (
+    "SELECT doc_a, doc_b, jaccard FROM verified "
+    "WHERE jaccard >= {threshold}"
+)
+
+
+def minhash_pairs_from_sigs_sql(d: SqlDialect, sigs_rel: str) -> str:
+    """Stage 2 of MinHash-LSH, over a materialized signature relation."""
+    return (
+        f"WITH {minhash_pairs_ctes(d, sigs_rel)} "
+        + MINHASH_PAIRS_FINAL.format(threshold=JACCARD_THRESHOLD)
     )
-    SELECT doc_a, doc_b, jaccard FROM verified
-    WHERE jaccard >= {JACCARD_THRESHOLD}
+
+
+def minhash_lsh_pairs_sql(d: SqlDialect, docs_rel: str = "documents") -> str:
+    """Candidate pairs from LSH band buckets, verified by true Jaccard
+    (single-SQL composition of the two stages — the oracle form).
+
+    Scale shape: signature projection → explode to (band_key, doc) →
+    self-join on band_key (the only shuffle) → distinct pairs → verify.
     """
+    return (
+        f"WITH sig0 AS ({minhash_signatures_sql(d, docs_rel)}), "
+        + minhash_pairs_ctes(d, "sig0")
+        + " "
+        + MINHASH_PAIRS_FINAL.format(threshold=JACCARD_THRESHOLD)
+    )
 
 
 NGRAM_DF_CAP = 100  # stop-shingle cut: shingles in more docs than this are noise
@@ -290,18 +337,49 @@ def simhash_neardup_pairs_sql(
     Exact recall for k < bands by pigeonhole.
     """
     assert k < bands, "banding guarantees recall only for k < bands"
+    return (
+        f"WITH sk0 AS ({simhash_sketches_sql(d, docs_rel, bands, band_bits)}), "
+        + simhash_pairs_ctes(d, "sk0", bands, band_bits)
+        + f" SELECT doc_a, doc_b, hamming FROM verified WHERE hamming <= {k}"
+    )
+
+
+def simhash_sketches_sql(
+    d: SqlDialect,
+    docs_rel: str = "documents",
+    bands: int = SIMHASH_BANDS,
+    band_bits: int = SIMHASH_BAND_BITS,
+) -> str:
+    """Stage 1 of the SimHash near-dup: (doc_id, sb0..sb{bands-1}).
+
+    Split out for the same reason as :func:`minhash_signatures_sql`:
+    the pairs query references the sketch relation bands+2 times, and a
+    materialized sketch table (per ingestion batch, at scale) beats
+    re-deriving bands×band_bits majority votes per reference.
+    """
     items = simhash_band_items(d, bands=bands, band_bits=band_bits)
     sel = ", ".join(f"{e} AS {k2}" for k2, e in items.items())
+    return (
+        f"WITH sets AS (SELECT doc_id, {shingles_expr(d)} AS sharr "
+        f"FROM {docs_rel}) SELECT doc_id, {sel} FROM sets"
+    )
+
+
+def simhash_pairs_ctes(
+    d: SqlDialect,
+    sk_rel: str,
+    bands: int = SIMHASH_BANDS,
+    band_bits: int = SIMHASH_BAND_BITS,
+) -> str:
+    band_names = [f"sb{b}" for b in range(bands)]
     band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_key, '{b}' AS band_id FROM s"
-        for b in items
+        f"SELECT doc_id, {b} AS band_key, '{b}' AS band_id FROM {sk_rel}"
+        for b in band_names
     )
     hamming = " + ".join(
-        d.bit_count(d.xor(f"a.{b}", f"b.{b}")) for b in items
+        d.bit_count(d.xor(f"a.{b}", f"b.{b}")) for b in band_names
     )
     return f"""
-    WITH sets AS (SELECT doc_id, {shingles_expr(d)} AS sharr FROM {docs_rel}),
-    s AS (SELECT doc_id, {sel} FROM sets),
     banded AS ({band_rows}),
     candidates AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -312,8 +390,20 @@ def simhash_neardup_pairs_sql(
     verified AS (
       SELECT c.doc_a, c.doc_b, CAST(({hamming}) AS INT) AS hamming
       FROM candidates c
-      JOIN s a ON a.doc_id = c.doc_a
-      JOIN s b ON b.doc_id = c.doc_b
+      JOIN {sk_rel} a ON a.doc_id = c.doc_a
+      JOIN {sk_rel} b ON b.doc_id = c.doc_b
+    )"""
+
+
+def simhash_pairs_from_sketches_sql(
+    d: SqlDialect,
+    sk_rel: str,
+    k: int = SIMHASH_HAMMING_K,
+    bands: int = SIMHASH_BANDS,
+    band_bits: int = SIMHASH_BAND_BITS,
+) -> str:
+    """Stage 2 of the SimHash near-dup, over a materialized sketch relation."""
+    return (
+        f"WITH {simhash_pairs_ctes(d, sk_rel, bands, band_bits)} "
+        f"SELECT doc_a, doc_b, hamming FROM verified WHERE hamming <= {k}"
     )
-    SELECT doc_a, doc_b, hamming FROM verified WHERE hamming <= {k}
-    """

@@ -208,10 +208,30 @@ def kmeans_centroids_ctes(
     return ", ".join(parts), prev
 
 
+def ivf_centroids_sql(
+    d: SqlDialect,
+    emb_rel: str = "embeddings",
+    n_centroids: int = TRAINED_CENTROIDS,
+) -> str:
+    """The k-means training stage as a standalone query:
+    (centroid_id, emb).
+
+    Split out so the Spark runner can MATERIALIZE the trained centroids
+    once — the trained top-k/near-dup queries reference the centroid
+    relation from both the assignment and the probe/pair side, and an
+    inlined CTE re-executes the whole iterative k-means per reference.
+    At corpus scale this is how IVF works anyway: train once, store the
+    centroid table, broadcast it to every assignment job.
+    """
+    kmeans, cents = kmeans_centroids_ctes(d, emb_rel, n_centroids=n_centroids)
+    return f"WITH {kmeans} SELECT centroid_id, emb FROM {cents}"
+
+
 def ann_ivf_trained_sql(
     d: SqlDialect, query_vec_id: int = 0, k: int = TOPK,
     emb_rel: str = "embeddings", probes: int = TRAINED_PROBES,
     n_centroids: int = TRAINED_CENTROIDS,
+    cents_rel: str | None = None,
 ) -> str:
     """ANN top-k over k-means-trained IVF lists (probe the best lists).
 
@@ -219,13 +239,23 @@ def ann_ivf_trained_sql(
     (broadcast), probe pruning — but the lists follow the data's actual
     clusters, so recall at equal probe count is higher
     (tests/test_corpus_ops.py measures recall@k vs brute force).
+    ``cents_rel`` names a pre-materialized centroid relation (see
+    :func:`ivf_centroids_sql`); without it the k-means CTEs are inlined
+    (the single-SQL oracle form).
     """
-    kmeans, cents = kmeans_centroids_ctes(d, emb_rel, n_centroids=n_centroids)
+    if cents_rel is None:
+        kmeans, cents = kmeans_centroids_ctes(
+            d, emb_rel, n_centroids=n_centroids
+        )
+        prelude = f"WITH {kmeans},"
+    else:
+        cents = cents_rel
+        prelude = "WITH"
     cos_assign = cosine_expr(d, "e.embedding", "c.emb")
     cos_q = cosine_expr(d, "e.embedding", "q.embedding")
     cos_probe = cosine_expr(d, "c.emb", "q.embedding")
     return f"""
-    WITH {kmeans},
+    {prelude}
     assigned AS (
       SELECT vec_id, centroid_id FROM (
         SELECT e.vec_id, c.centroid_id,
@@ -301,6 +331,7 @@ def embedding_neardup_trained_sql(
     emb_rel: str = "embeddings",
     n_centroids: int = TRAINED_CENTROIDS,
     assign_r: int = 2,
+    cents_rel: str | None = None,
 ) -> str:
     """Near-duplicate pairs over k-means-trained IVF lists with
     multi-assignment: every vector lands in its ``assign_r`` closest
@@ -313,26 +344,50 @@ def embedding_neardup_trained_sql(
     ~assign_r² × in-bucket pairs, never O(n²); DISTINCT dedups the
     multi-list collisions before the (expensive) cosine verify.
     """
-    kmeans, cents = kmeans_centroids_ctes(d, emb_rel, n_centroids=n_centroids)
+    if cents_rel is None:
+        kmeans, cents = kmeans_centroids_ctes(
+            d, emb_rel, n_centroids=n_centroids
+        )
+        prelude = f"WITH {kmeans},"
+    else:
+        cents = cents_rel
+        prelude = "WITH"
+    assign = ivf_multi_assign_sql(d, emb_rel, cents, assign_r)
+    pairs = neardup_pairs_from_assigned_sql(d, emb_rel, "assigned", threshold)
+    return f"{prelude} assigned AS ({assign}) {pairs}"
+
+
+def ivf_multi_assign_sql(
+    d: SqlDialect, emb_rel: str, cents_rel: str, assign_r: int = 2
+) -> str:
+    """Multi-assignment stage: (vec_id, centroid_id) for each vector's
+    ``assign_r`` closest centroids. Staged separately so the Spark
+    runner can materialize it: the pair join reads it from BOTH sides,
+    and the row_number window over the emb×centroid cross join is the
+    assignment's whole cost."""
     cos_assign = cosine_expr(d, "e.embedding", "c.emb")
-    cos = cosine_expr(d, "ea.embedding", "eb.embedding")
     return f"""
-    WITH {kmeans},
-    assigned AS (
       SELECT vec_id, centroid_id FROM (
         SELECT e.vec_id, c.centroid_id,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {cos_assign} DESC, c.centroid_id) AS rn
-        FROM {emb_rel} e CROSS JOIN {cents} c
-      ) x WHERE rn <= {assign_r}
-    ),
-    cand AS (
-      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM assigned a
-      JOIN assigned b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-    )
+        FROM {emb_rel} e CROSS JOIN {cents_rel} c
+      ) x WHERE rn <= {assign_r}"""
+
+
+def neardup_pairs_from_assigned_sql(
+    d: SqlDialect, emb_rel: str, assigned_rel: str, threshold: float = 0.3
+) -> str:
+    """Pair stage over a (materialized) multi-assignment relation."""
+    cos = cosine_expr(d, "ea.embedding", "eb.embedding")
+    return f"""
     SELECT c.vec_a, c.vec_b, {cos} AS cosine
-    FROM cand c
+    FROM (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM {assigned_rel} a
+      JOIN {assigned_rel} b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    ) c
     JOIN {emb_rel} ea ON ea.vec_id = c.vec_a
     JOIN {emb_rel} eb ON eb.vec_id = c.vec_b
     WHERE {cos} >= {threshold}

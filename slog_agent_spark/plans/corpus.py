@@ -15,8 +15,21 @@ from ..operators import dedup, similarity, textops
 
 
 def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register fixture tables as views, spread across the cluster.
+
+    The test fixtures are single parquet files, which scan as ONE task —
+    serializing every per-row-heavy projection (shingle md5s, SimHash
+    bits, cosine) onto one core (measured 3× on minhash at local[32]). A
+    production table has many splits; the repartition reproduces that
+    layout. Pushdown loss is irrelevant here: the corpus operators are
+    full-table by construction.
+    """
+    par = spark.sparkContext.defaultParallelism
     for n in names:
-        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
+        df.createOrReplaceTempView(n)
 
 
 def _items_sql(d, rel: str, key: str, items: dict[str, str]) -> str:
@@ -52,23 +65,59 @@ def _sql_query(sql_builder, tables: tuple[str, ...]):
     return run, oracle
 
 
+def _staged_query(stages, final_builder, oracle_builder, tables):
+    """Spark runner that MATERIALIZES expensive intermediate relations.
+
+    ``stages`` is a list of (view_name, sql_builder(dialect, *prior
+    views)); each stage runs, is pinned via eager localCheckpoint (the
+    cluster analogue: write the signature/centroid table, then join it),
+    and registered under ``view_name``. Catalyst re-executes a
+    multi-referenced CTE once PER REFERENCE — for a self-joined
+    signature relation that re-runs the whole shingle/k-means pipeline
+    2-4× (measured; see dedup.minhash_signatures_sql). The DuckDB
+    oracle keeps the single-SQL composed form — same relations, same
+    values.
+    """
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register(spark, sf_dir, *tables)
+        for view, builder in stages:
+            staged = spark.sql(builder(SPARK)).localCheckpoint()
+            staged.createOrReplaceTempView(view)
+        return spark.sql(final_builder(SPARK))
+
+    def oracle() -> str:
+        return oracle_builder(DUCKDB)
+
+    return run, oracle
+
+
 exact_dedup_query, exact_dedup_oracle = _sql_query(
     dedup.exact_dedup_sql, ("documents",)
 )
-minhash_lsh_query, minhash_lsh_oracle = _sql_query(
-    dedup.minhash_lsh_pairs_sql, ("documents",)
+minhash_lsh_query, minhash_lsh_oracle = _staged_query(
+    [("minhash_sigs", dedup.minhash_signatures_sql)],
+    lambda d: dedup.minhash_pairs_from_sigs_sql(d, "minhash_sigs"),
+    dedup.minhash_lsh_pairs_sql,
+    ("documents",),
 )
 simhash_query, simhash_oracle = _sql_query(
     dedup.simhash_groups_sql, ("documents",)
 )
-simhash_neardup_query, simhash_neardup_oracle = _sql_query(
-    dedup.simhash_neardup_pairs_sql, ("documents",)
+simhash_neardup_query, simhash_neardup_oracle = _staged_query(
+    [("simhash_sketches", dedup.simhash_sketches_sql)],
+    lambda d: dedup.simhash_pairs_from_sketches_sql(d, "simhash_sketches"),
+    dedup.simhash_neardup_pairs_sql,
+    ("documents",),
 )
 ngram_jaccard_query, ngram_jaccard_oracle = _sql_query(
     dedup.ngram_jaccard_pairs_sql, ("documents",)
 )
-ann_ivf_trained_query, ann_ivf_trained_oracle = _sql_query(
-    similarity.ann_ivf_trained_sql, ("embeddings",)
+ann_ivf_trained_query, ann_ivf_trained_oracle = _staged_query(
+    [("ivf_centroids", similarity.ivf_centroids_sql)],
+    lambda d: similarity.ann_ivf_trained_sql(d, cents_rel="ivf_centroids"),
+    similarity.ann_ivf_trained_sql,
+    ("embeddings",),
 )
 ann_bruteforce_query, ann_bruteforce_oracle = _sql_query(
     similarity.ann_bruteforce_sql, ("embeddings",)
@@ -85,6 +134,19 @@ emb_neardup_exact_query, emb_neardup_exact_oracle = _sql_query(
 corpus_stats_query, corpus_stats_oracle = _sql_query(
     textops.corpus_stats_sql, ("documents",)
 )
-emb_neardup_trained_query, emb_neardup_trained_oracle = _sql_query(
-    similarity.embedding_neardup_trained_sql, ("embeddings",)
+emb_neardup_trained_query, emb_neardup_trained_oracle = _staged_query(
+    [
+        ("ivf_centroids", similarity.ivf_centroids_sql),
+        (
+            "ivf_assigned",
+            lambda d: similarity.ivf_multi_assign_sql(
+                d, "embeddings", "ivf_centroids"
+            ),
+        ),
+    ],
+    lambda d: similarity.neardup_pairs_from_assigned_sql(
+        d, "embeddings", "ivf_assigned"
+    ),
+    similarity.embedding_neardup_trained_sql,
+    ("embeddings",),
 )
