@@ -150,12 +150,21 @@ def main() -> None:
     raw5 = plan_of(mh)
     check("lsh: no cartesian/nested-loop",
           "Cartesian" not in raw5 and "NestedLoop" not in raw5, "")
+    # staged signatures: the pairs plan must read the MATERIALIZED
+    # signature relation (ExistingRDD from the localCheckpoint), not
+    # re-derive shingles — a multi-referenced CTE re-executes the whole
+    # md5 pipeline once per reference (the 24× regression this guards)
+    check("lsh: reads materialized signatures (no shingle recompute)",
+          "ExistingRDD" in raw5 and "array_join" not in raw5,
+          "")
 
     # 6. SimHash banded-Hamming near-dup join shape
     sn = C.simhash_neardup_query(spark, sf)
     raw6 = plan_of(sn)
     check("simhash-neardup: no cartesian/nested-loop",
           "Cartesian" not in raw6 and "NestedLoop" not in raw6, "")
+    check("simhash-neardup: reads materialized sketches",
+          "ExistingRDD" in raw6 and "array_join" not in raw6, "")
 
     # 7. trained IVF: centroid side must broadcast (tiny relation),
     # never a shuffle-heavy sort-merge against the corpus
@@ -165,6 +174,33 @@ def main() -> None:
           "BroadcastHashJoin" in raw7 or "BroadcastNestedLoopJoin" in raw7,
           "")
     check("ivf-trained: no cartesian", "CartesianProduct" not in raw7, "")
+    check("ivf-trained: k-means not re-executed (materialized centroids)",
+          "ExistingRDD" in raw7, "")
+
+    # 8. trained embedding near-dup: assignment staged, so the pair plan
+    # must contain NO window (the row_number assignment) and no k-means
+    en = C.emb_neardup_trained_query(spark, sf)
+    raw8 = plan_of(en)
+    check("emb-neardup-trained: assignment materialized (no Window)",
+          "ExistingRDD" in raw8 and "Window" not in raw8, "")
+    check("emb-neardup-trained: no cartesian",
+          "CartesianProduct" not in raw8, "")
+
+    # 9. corpus rollup: one shuffle, map-side partial agg before it
+    cs = C.corpus_stats_query(spark, sf)
+    raw9 = plan_of(cs)
+    n_ex9 = len(re.findall(r"Exchange hashpartitioning", raw9))
+    check("corpus-stats: exactly one shuffle", n_ex9 == 1, f"{n_ex9} exchanges")
+    check("corpus-stats: partial agg below (before) the shuffle",
+          raw9.rindex("HashAggregate") > raw9.index("Exchange")
+          if "Exchange" in raw9 and "HashAggregate" in raw9 else False, "")
+    sections.append((
+        "Per-language corpus rollup (`corpus_stats_query`)",
+        "One codegen projection (language-ID + token counts per doc) into one "
+        "groupBy over a low-cardinality key — partial agg makes the shuffle "
+        "O(|langs| x tasks) at any corpus size.",
+        formatted(cs),
+    ))
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
