@@ -44,7 +44,7 @@ def test_max_records_per_file_cap(spark, sf_dir):
     with tempfile.TemporaryDirectory() as root:
         sink = os.path.join(root, "sink")
         P.run_sinks(tf, sink, max_records_per_file=50)
-        files = glob.glob(os.path.join(sink, "tag=*", "*.parquet"))
+        files = glob.glob(os.path.join(sink, "dropped=*", "tag=*", "*.parquet"))
         assert files
         for f in files:
             # each file obeys the cap (reference chunk flush limit)
@@ -56,16 +56,20 @@ def test_fanout_sink_files_turn_ordered(spark, sf_dir):
     """Every sink file preserves (conv_id, turn_idx) FIFO order.
 
     The dynamic-partition writer requires rows sorted by the partition
-    column; run_fanout leads its sortWithinPartitions with "tag" so no
-    writer-inserted re-sort (of unguaranteed stability) can scramble the
-    per-conversation turn order (reference FIFO guarantee:
-    orchestrate/obykeyset/orchestrator.go:106-119).
+    columns; run_fanout leads its sortWithinPartitions with
+    ("dropped", "tag") so no writer-inserted re-sort (of unguaranteed
+    stability) can scramble the per-conversation turn order (reference
+    FIFO guarantee: orchestrate/obykeyset/orchestrator.go:106-119).
+    Passed rows are the dropped=false per-tag sinks; dropped rows land
+    in the dropped=true quarantine tier.
     """
     tf = P.transformed_df(spark, sf_dir)
     with tempfile.TemporaryDirectory() as root:
         sink = os.path.join(root, "sink")
-        P.run_fanout(tf, sink)
-        files = glob.glob(os.path.join(sink, "tag=*", "*.parquet"))
+        metrics = P.run_fanout(tf, sink)
+        files = glob.glob(
+            os.path.join(sink, "dropped=false", "tag=*", "*.parquet")
+        )
         assert files
         checked = 0
         for f in files:
@@ -73,4 +77,16 @@ def test_fanout_sink_files_turn_ordered(spark, sf_dir):
             got = [(r["conv_id"], r["turn_idx"]) for r in rows]
             assert got == sorted(got), f
             checked += len(got)
-        assert checked > 0
+        assert checked == tf.where("NOT dropped").count()
+        # the quarantine tier holds exactly the dropped rows
+        q = glob.glob(os.path.join(sink, "dropped=true", "tag=*", "*.parquet"))
+        n_dropped = tf.where("dropped").count()
+        assert (sum(spark.read.parquet(f).count() for f in q) if q else 0) == n_dropped
+        # metrics from the read-back match metrics from the source frame
+        from slog_agent_spark.operators.metrics import process_metrics
+        src = {
+            tuple(r)
+            for r in process_metrics(tf).collect()
+        }
+        got_m = {tuple(r) for r in metrics.collect()}
+        assert got_m == src
