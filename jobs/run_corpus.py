@@ -1,0 +1,105 @@
+"""spark-submit entry point for the corpus-hygiene operators.
+
+Usage (cluster):
+    tools/package.sh          # builds dist/slog_agent_spark.zip
+    spark-submit --py-files dist/slog_agent_spark.zip \\
+        jobs/run_corpus.py \\
+        --data <dir with documents.parquet / embeddings.parquet> \\
+        --output <result root> \\
+        [--ops dedup_exact,dedup_minhash_lsh,...]   (default: all)
+
+Runs the selected operators and writes each result as parquet under
+``<output>/<op>/``. These are the standard pretraining-data passes:
+dedup (exact / MinHash+LSH / n-gram Jaccard / banded-Hamming SimHash),
+embedding near-dup (trained IVF, multi-assign), ANN top-k, text
+quality/language/token reports, and the per-language corpus rollup.
+
+Scale notes: every operator here is shuffle-shaped for a real cluster
+(band-key / posting-list / bucket joins, broadcast centroid tables — no
+O(n²) pass except the explicitly-named *exact* near-dup baseline, which
+is excluded from the default set and intended for samples). Expensive
+signature/centroid stages are materialized once per run
+(plans/corpus.py:_staged_query).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+DOC_OPS = (
+    "doc_token_count",
+    "doc_quality_score",
+    "doc_language_id",
+    "doc_fingerprint",
+    "corpus_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_neardup",
+)
+EMB_OPS = (
+    "ann_topk_ivf_trained",
+    "embedding_neardup_trained",
+)
+# O(n²) verification tier — opt-in only, run it on a sample
+EXTRA_OPS = ("embedding_neardup_exact",)
+
+
+def registry():
+    from slog_agent_spark.plans import corpus as C
+
+    return {
+        "doc_token_count": C.token_count_query,
+        "doc_quality_score": C.quality_query,
+        "doc_language_id": C.langid_query,
+        "doc_fingerprint": C.fingerprint_query,
+        "corpus_stats": C.corpus_stats_query,
+        "dedup_exact": C.exact_dedup_query,
+        "dedup_minhash_lsh": C.minhash_lsh_query,
+        "dedup_ngram_jaccard": C.ngram_jaccard_query,
+        "dedup_simhash_neardup": C.simhash_neardup_query,
+        "ann_topk_ivf_trained": C.ann_ivf_trained_query,
+        "embedding_neardup_trained": C.emb_neardup_trained_query,
+        "embedding_neardup_exact": C.emb_neardup_exact_query,
+    }
+
+
+def main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True,
+                    help="dir containing documents.parquet / embeddings.parquet")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--ops", default=None,
+                    help="comma-separated op names (default: all standard ops)")
+    args = ap.parse_args(argv)
+
+    from slog_agent_spark.session import build_session
+
+    reg = registry()
+    ops = (
+        [o.strip() for o in args.ops.split(",") if o.strip()]
+        if args.ops
+        else list(DOC_OPS + EMB_OPS)
+    )
+    unknown = [o for o in ops if o not in reg]
+    if unknown:
+        print(f"unknown ops: {unknown}; available: {sorted(reg)}")
+        return 2
+
+    spark = build_session(app_name="slog-agent-spark-corpus")
+    try:
+        for op in ops:
+            df = reg[op](spark, args.data)
+            dst = os.path.join(args.output, op)
+            df.write.mode("overwrite").parquet(dst)
+            n = spark.read.parquet(dst).count()
+            print(f"{op}: {n} rows -> {dst}")
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
