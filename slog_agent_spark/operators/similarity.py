@@ -43,6 +43,29 @@ def cosine_expr(d: SqlDialect, a: str, b: str) -> str:
     )
 
 
+def cosine_prenorm_expr(d: SqlDialect, a: str, b: str, na: str, nb: str) -> str:
+    """Cosine with the norms hoisted to per-VECTOR columns (``na``/``nb``).
+
+    Bit-identical to :func:`cosine_expr` — same dot, same
+    greatest(na*nb, 1e-12) denominator, same 4dp round — but a pair
+    verify pays ONE array aggregate instead of three. On an all-pairs
+    verify that is the whole cost model: norms are O(n), dots are
+    O(candidate pairs).
+    """
+    return (
+        f"round({dot_expr(d, a, b)} / greatest({na} * {nb}, 1e-12), 4)"
+    )
+
+
+def emb_norms_sql(d: SqlDialect, emb_rel: str = "embeddings") -> str:
+    """Per-vector norm relation: (vec_id, embedding, nrm) — the staged
+    O(n) pass that lets every pair verify skip recomputing norms."""
+    return (
+        f"SELECT vec_id, embedding, {norm_expr(d, 'embedding')} AS nrm "
+        f"FROM {emb_rel}"
+    )
+
+
 def ann_bruteforce_sql(
     d: SqlDialect, query_vec_id: int = 0, k: int = TOPK,
     emb_rel: str = "embeddings",
@@ -293,14 +316,17 @@ def embedding_neardup_sql(
     comparison count scales with bucket sizes (not |corpus|²).
     """
     assign = ivf_assign_sql(d, emb_rel)
-    cos = cosine_expr(d, "ea.embedding", "eb.embedding")
+    cos = cosine_prenorm_expr(
+        d, "ea.embedding", "eb.embedding", "ea.nrm", "eb.nrm"
+    )
     return f"""
-    WITH assigned AS ({assign})
+    WITH assigned AS ({assign}),
+    norms AS ({emb_norms_sql(d, emb_rel)})
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
     FROM assigned a
     JOIN assigned b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-    JOIN {emb_rel} ea ON ea.vec_id = a.vec_id
-    JOIN {emb_rel} eb ON eb.vec_id = b.vec_id
+    JOIN norms ea ON ea.vec_id = a.vec_id
+    JOIN norms eb ON eb.vec_id = b.vec_id
     WHERE {cos} >= {threshold}
     """
 
@@ -316,11 +342,14 @@ def embedding_neardup_exact_sql(
     100 TB the bucketed join is the only viable shape; this query is
     what its recall is measured against (tests/test_corpus_ops.py).
     """
-    cos = cosine_expr(d, "ea.embedding", "eb.embedding")
+    cos = cosine_prenorm_expr(
+        d, "ea.embedding", "eb.embedding", "ea.nrm", "eb.nrm"
+    )
     return f"""
+    WITH norms AS ({emb_norms_sql(d, emb_rel)})
     SELECT ea.vec_id AS vec_a, eb.vec_id AS vec_b, {cos} AS cosine
-    FROM {emb_rel} ea
-    JOIN {emb_rel} eb ON ea.vec_id < eb.vec_id
+    FROM norms ea
+    JOIN norms eb ON ea.vec_id < eb.vec_id
     WHERE {cos} >= {threshold}
     """
 
@@ -353,8 +382,11 @@ def embedding_neardup_trained_sql(
         cents = cents_rel
         prelude = "WITH"
     assign = ivf_multi_assign_sql(d, emb_rel, cents, assign_r)
-    pairs = neardup_pairs_from_assigned_sql(d, emb_rel, "assigned", threshold)
-    return f"{prelude} assigned AS ({assign}) {pairs}"
+    pairs = neardup_pairs_from_assigned_sql(d, "norms", "assigned", threshold)
+    return (
+        f"{prelude} assigned AS ({assign}), "
+        f"norms AS ({emb_norms_sql(d, emb_rel)}) {pairs}"
+    )
 
 
 def ivf_multi_assign_sql(
@@ -376,10 +408,15 @@ def ivf_multi_assign_sql(
 
 
 def neardup_pairs_from_assigned_sql(
-    d: SqlDialect, emb_rel: str, assigned_rel: str, threshold: float = 0.3
+    d: SqlDialect, norms_rel: str, assigned_rel: str, threshold: float = 0.3
 ) -> str:
-    """Pair stage over a (materialized) multi-assignment relation."""
-    cos = cosine_expr(d, "ea.embedding", "eb.embedding")
+    """Pair stage over (materialized) multi-assignment + norm relations.
+
+    ``norms_rel`` must expose (vec_id, embedding, nrm) — see
+    :func:`emb_norms_sql`; the verify then pays one dot per pair."""
+    cos = cosine_prenorm_expr(
+        d, "ea.embedding", "eb.embedding", "ea.nrm", "eb.nrm"
+    )
     return f"""
     SELECT c.vec_a, c.vec_b, {cos} AS cosine
     FROM (
@@ -388,7 +425,7 @@ def neardup_pairs_from_assigned_sql(
       JOIN {assigned_rel} b
         ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
     ) c
-    JOIN {emb_rel} ea ON ea.vec_id = c.vec_a
-    JOIN {emb_rel} eb ON eb.vec_id = c.vec_b
+    JOIN {norms_rel} ea ON ea.vec_id = c.vec_a
+    JOIN {norms_rel} eb ON eb.vec_id = c.vec_b
     WHERE {cos} >= {threshold}
     """

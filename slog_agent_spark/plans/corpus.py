@@ -143,9 +143,10 @@ emb_neardup_trained_query, emb_neardup_trained_oracle = _staged_query(
                 d, "embeddings", "ivf_centroids"
             ),
         ),
+        ("emb_norms", similarity.emb_norms_sql),
     ],
     lambda d: similarity.neardup_pairs_from_assigned_sql(
-        d, "embeddings", "ivf_assigned"
+        d, "emb_norms", "ivf_assigned"
     ),
     similarity.embedding_neardup_trained_sql,
     ("embeddings",),
