@@ -70,10 +70,18 @@ def ann_bruteforce_sql(
     d: SqlDialect, query_vec_id: int = 0, k: int = TOPK,
     emb_rel: str = "embeddings",
 ) -> str:
-    """Exact cosine top-k for one query vector (baseline)."""
-    cos = cosine_expr(d, "e.embedding", "q.embedding")
+    """Exact cosine top-k for one query vector (baseline).
+
+    The query vector's norm is hoisted into the (one-row, broadcast)
+    ``q`` relation — inlining it in the cosine would re-aggregate the
+    same 64 elements once per CORPUS row.
+    """
+    cos = cosine_prenorm_expr(
+        d, "e.embedding", "q.embedding", norm_expr(d, "e.embedding"), "q.qn"
+    )
     return f"""
-    WITH q AS (SELECT embedding FROM {emb_rel} WHERE vec_id = {query_vec_id})
+    WITH q AS (SELECT embedding, {norm_expr(d, "embedding")} AS qn
+               FROM {emb_rel} WHERE vec_id = {query_vec_id})
     SELECT e.vec_id, e.label, {cos} AS cosine
     FROM {emb_rel} e, q
     WHERE e.vec_id != {query_vec_id}
@@ -111,11 +119,14 @@ def ivf_topk_sql(
     emb_rel: str = "embeddings",
 ) -> str:
     """ANN top-k probing the IVF_PROBES centroid lists nearest the query."""
-    cos_q = cosine_expr(d, "e.embedding", "q.embedding")
+    cos_q = cosine_prenorm_expr(
+        d, "e.embedding", "q.embedding", norm_expr(d, "e.embedding"), "q.qn"
+    )
     assign = ivf_assign_sql(d, emb_rel)
     return f"""
     WITH assigned AS ({assign}),
-    q AS (SELECT embedding FROM {emb_rel} WHERE vec_id = {query_vec_id}),
+    q AS (SELECT embedding, {norm_expr(d, "embedding")} AS qn
+          FROM {emb_rel} WHERE vec_id = {query_vec_id}),
     probe AS (
       SELECT centroid_id FROM assigned WHERE vec_id = {query_vec_id}
       UNION ALL
@@ -275,7 +286,9 @@ def ann_ivf_trained_sql(
         cents = cents_rel
         prelude = "WITH"
     cos_assign = cosine_expr(d, "e.embedding", "c.emb")
-    cos_q = cosine_expr(d, "e.embedding", "q.embedding")
+    cos_q = cosine_prenorm_expr(
+        d, "e.embedding", "q.embedding", norm_expr(d, "e.embedding"), "q.qn"
+    )
     cos_probe = cosine_expr(d, "c.emb", "q.embedding")
     return f"""
     {prelude}
@@ -287,7 +300,8 @@ def ann_ivf_trained_sql(
         FROM {emb_rel} e CROSS JOIN {cents} c
       ) x WHERE rn = 1
     ),
-    q AS (SELECT embedding FROM {emb_rel} WHERE vec_id = {query_vec_id}),
+    q AS (SELECT embedding, {norm_expr(d, "embedding")} AS qn
+          FROM {emb_rel} WHERE vec_id = {query_vec_id}),
     probe_set AS (
       SELECT centroid_id FROM (
         SELECT c.centroid_id,
