@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_exact": C.emb_neardup_exact_query,
         "embedding_neardup_trained": C.emb_neardup_trained_query,
         "corpus_stats": C.corpus_stats_query,
+        "corpus_retention": C.corpus_retention_query,
         "multimodal_feature_extract": lambda spark, sf: _mm_features(spark, sf),
     }
 
@@ -144,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_exact": C.emb_neardup_exact_oracle(),
         "embedding_neardup_trained": C.emb_neardup_trained_oracle(),
         "corpus_stats": C.corpus_stats_oracle(),
+        "corpus_retention": C.corpus_retention_oracle(),
         "multimodal_feature_extract": _mm_oracle(),
     }
 

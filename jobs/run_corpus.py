@@ -38,6 +38,7 @@ DOC_OPS = (
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash_neardup",
+    "corpus_retention",
 )
 EMB_OPS = (
     "ann_topk_ivf_trained",
@@ -60,6 +61,7 @@ def registry():
         "dedup_minhash_lsh": C.minhash_lsh_query,
         "dedup_ngram_jaccard": C.ngram_jaccard_query,
         "dedup_simhash_neardup": C.simhash_neardup_query,
+        "corpus_retention": C.corpus_retention_query,
         "ann_topk_ivf_trained": C.ann_ivf_trained_query,
         "embedding_neardup_trained": C.emb_neardup_trained_query,
         "embedding_neardup_exact": C.emb_neardup_exact_query,

@@ -407,3 +407,88 @@ def simhash_pairs_from_sketches_sql(
         f"WITH {simhash_pairs_ctes(d, sk_rel, bands, band_bits)} "
         f"SELECT doc_a, doc_b, hamming FROM verified WHERE hamming <= {k}"
     )
+
+
+# -- corpus retention: the composite "cut the training set" pass -------------
+RETENTION_MIN_TOKENS = 20
+RETENTION_MIN_DISTINCT = 0.3
+RETENTION_MAX_STOPWORD = 0.2
+
+
+def corpus_retention_ctes(d: SqlDialect, docs_rel: str, pairs_rel: str) -> str:
+    """CTEs for the per-doc retention decision. ``pairs_rel`` must expose
+    verified near-dup pairs (doc_a < doc_b, already thresholded)."""
+    from .textops import quality_items, token_count_items
+
+    q = quality_items(d)
+    t = token_count_items(d)
+    return f"""
+    qual AS (
+      SELECT doc_id, {t['n_tokens']} AS n_tokens,
+             {q['distinct_ratio']} AS distinct_ratio,
+             {q['stopword_ratio']} AS stopword_ratio,
+             md5(text) AS content_hash
+      FROM {docs_rel}
+    ),
+    keepers AS (
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY content_hash) AS keeper
+      FROM qual
+    ),
+    near_removed AS (SELECT DISTINCT doc_b AS doc_id FROM {pairs_rel})"""
+
+
+def corpus_retention_final(d: SqlDialect) -> str:
+    keep_exact = "(k.keeper = q.doc_id)"
+    keep_near = "(n.doc_id IS NULL)"
+    keep_quality = (
+        f"(q.n_tokens >= {RETENTION_MIN_TOKENS} "
+        f"AND q.distinct_ratio >= {RETENTION_MIN_DISTINCT} "
+        f"AND q.stopword_ratio <= {RETENTION_MAX_STOPWORD})"
+    )
+    return f"""
+    SELECT q.doc_id,
+           {keep_exact} AS exact_keep,
+           {keep_near} AS neardup_keep,
+           {keep_quality} AS quality_keep,
+           ({keep_exact} AND {keep_near} AND {keep_quality}) AS kept
+    FROM qual q
+    JOIN keepers k ON k.doc_id = q.doc_id
+    LEFT JOIN near_removed n ON n.doc_id = q.doc_id
+    """
+
+
+def corpus_retention_from_pairs_sql(
+    d: SqlDialect, docs_rel: str, pairs_rel: str
+) -> str:
+    """Retention decision over a (materialized) near-dup pair relation."""
+    return (
+        f"WITH {corpus_retention_ctes(d, docs_rel, pairs_rel)} "
+        + corpus_retention_final(d)
+    )
+
+
+def corpus_retention_sql(d: SqlDialect, docs_rel: str = "documents") -> str:
+    """The composite training-set cut, single-SQL (oracle) form: one row
+    per document with the three independent keep decisions and their
+    conjunction:
+
+    - ``exact_keep``   — lowest doc_id of each identical-content group
+    - ``neardup_keep`` — not the higher side of a verified MinHash-LSH
+      near-dup pair (single-round removal: for (a, b) with a < b, b is
+      cut; transitive chains are resolved in later rounds at scale)
+    - ``quality_keep`` — token floor, lexical-diversity floor, stopword
+      ceiling (the standard pretraining filters)
+
+    Scale shape: two per-row projections + the LSH band join + one
+    window over content_hash — nothing O(n²). The Spark runner reuses
+    the materialized MinHash signature stage (plans/corpus.py).
+    """
+    return (
+        f"WITH sig0 AS ({minhash_signatures_sql(d, docs_rel)}), "
+        + minhash_pairs_ctes(d, "sig0")
+        + f", pairs AS ({MINHASH_PAIRS_FINAL.format(threshold=JACCARD_THRESHOLD)}), "
+        + corpus_retention_ctes(d, docs_rel, "pairs")
+        + " "
+        + corpus_retention_final(d)
+    )

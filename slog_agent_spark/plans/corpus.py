@@ -151,3 +151,17 @@ emb_neardup_trained_query, emb_neardup_trained_oracle = _staged_query(
     similarity.embedding_neardup_trained_sql,
     ("embeddings",),
 )
+corpus_retention_query, corpus_retention_oracle = _staged_query(
+    [
+        ("minhash_sigs", dedup.minhash_signatures_sql),
+        (
+            "minhash_pairs",
+            lambda d: dedup.minhash_pairs_from_sigs_sql(d, "minhash_sigs"),
+        ),
+    ],
+    lambda d: dedup.corpus_retention_from_pairs_sql(
+        d, "documents", "minhash_pairs"
+    ),
+    dedup.corpus_retention_sql,
+    ("documents",),
+)
