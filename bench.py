@@ -201,6 +201,7 @@ def run_bench(sf_dir: str, cpus: int, explode: int) -> dict:
                 ("embedding_neardup_trained", CQ.emb_neardup_trained_query),
                 ("ann_topk_ivf_trained", CQ.ann_ivf_trained_query),
                 ("corpus_stats", CQ.corpus_stats_query),
+                ("corpus_retention", CQ.corpus_retention_query),
             ):
                 t0 = time.time()
                 q(spark, sf_dir).collect()
