@@ -204,28 +204,62 @@ def ngram_jaccard_pairs_sql(
       the intersection entirely — the documented approximation, slightly
       conservative (undercounts Jaccard) for pairs sharing hot shingles.
     """
+    return (
+        f"WITH ns0 AS ({ngram_sets_sql(d, docs_rel)}), "
+        f"np0 AS ({ngram_postings_sql(d, 'ns0')}), "
+        + _ngram_pairs_ctes(d, "ns0", "np0")
+        + " "
+        + _ngram_pairs_final(d, threshold)
+    )
+
+
+def ngram_sets_sql(d: SqlDialect, docs_rel: str = "documents") -> str:
+    """Stage 1 of n-gram Jaccard: (doc_id, shingle_set, n_sh).
+
+    Materialized by the Spark runner — the posting explode, the df
+    count, the pair join, and BOTH size lookups all reference it, and a
+    multi-referenced CTE re-executes the shingle md5 pipeline per
+    reference (same trap as minhash_signatures_sql)."""
     sh = shingles_expr(d)
     if d.name == d.SPARK:
         dedup_sh, sz = f"array_distinct({sh})", "size(shingle_set)"
-        unnest = "explode(shingle_set)"
     else:
         dedup_sh, sz = f"list_distinct({sh})", "len(shingle_set)"
-        unnest = "unnest(shingle_set)"
+    return (
+        f"WITH s0 AS (SELECT doc_id, {dedup_sh} AS shingle_set "
+        f"FROM {docs_rel}) SELECT doc_id, shingle_set, {sz} AS n_sh FROM s0"
+    )
+
+
+def ngram_postings_sql(d: SqlDialect, sets_rel: str) -> str:
+    """Stage 2: pruned inverted-index postings (doc_id, shingle) —
+    df = 1 shingles skipped (cannot intersect), df > NGRAM_DF_CAP
+    stop-shingles cut. Self-joined from both sides by the pair stage."""
+    unnest = (
+        "explode(shingle_set)" if d.name == d.SPARK else "unnest(shingle_set)"
+    )
     return f"""
-    WITH sets AS (SELECT doc_id, {dedup_sh} AS shingle_set FROM {docs_rel}),
-    sizes AS (SELECT doc_id, {sz} AS n_sh FROM sets),
-    postings AS (SELECT doc_id, {unnest} AS shingle FROM sets),
-    freq AS (SELECT shingle, count(*) AS df FROM postings GROUP BY shingle),
-    p AS (
-      SELECT postings.doc_id, postings.shingle
-      FROM postings JOIN freq ON postings.shingle = freq.shingle
-      WHERE freq.df BETWEEN 2 AND {NGRAM_DF_CAP}
-    ),
+    WITH postings AS (SELECT doc_id, {unnest} AS shingle FROM {sets_rel}),
+    freq AS (SELECT shingle, count(*) AS df FROM postings GROUP BY shingle)
+    SELECT postings.doc_id, postings.shingle
+    FROM postings JOIN freq ON postings.shingle = freq.shingle
+    WHERE freq.df BETWEEN 2 AND {NGRAM_DF_CAP}
+    """
+
+
+def _ngram_pairs_ctes(d: SqlDialect, sets_rel: str, p_rel: str) -> str:
+    return f"""
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM {p_rel} a JOIN {p_rel} b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
-    )
+    ),
+    sizes AS (SELECT doc_id, n_sh FROM {sets_rel})"""
+
+
+def _ngram_pairs_final(d: SqlDialect, threshold: float) -> str:
+    return f"""
     SELECT doc_a, doc_b,
            round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6)
              AS jaccard
@@ -234,6 +268,19 @@ def ngram_jaccard_pairs_sql(
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= {threshold}
     """
+
+
+def ngram_pairs_from_postings_sql(
+    d: SqlDialect,
+    sets_rel: str,
+    p_rel: str,
+    threshold: float = JACCARD_THRESHOLD,
+) -> str:
+    """Stage 3: the pair join + Jaccard, over materialized sets/postings."""
+    return (
+        f"WITH {_ngram_pairs_ctes(d, sets_rel, p_rel)} "
+        + _ngram_pairs_final(d, threshold)
+    )
 
 
 def simhash_items(

@@ -110,8 +110,16 @@ simhash_neardup_query, simhash_neardup_oracle = _staged_query(
     dedup.simhash_neardup_pairs_sql,
     ("documents",),
 )
-ngram_jaccard_query, ngram_jaccard_oracle = _sql_query(
-    dedup.ngram_jaccard_pairs_sql, ("documents",)
+ngram_jaccard_query, ngram_jaccard_oracle = _staged_query(
+    [
+        ("ngram_sets", dedup.ngram_sets_sql),
+        ("ngram_postings", lambda d: dedup.ngram_postings_sql(d, "ngram_sets")),
+    ],
+    lambda d: dedup.ngram_pairs_from_postings_sql(
+        d, "ngram_sets", "ngram_postings"
+    ),
+    dedup.ngram_jaccard_pairs_sql,
+    ("documents",),
 )
 ann_ivf_trained_query, ann_ivf_trained_oracle = _staged_query(
     [("ivf_centroids", similarity.ivf_centroids_sql)],

@@ -144,6 +144,8 @@ def main() -> None:
     ))
     check("ngram: no cartesian/nested-loop",
           "Cartesian" not in raw4 and "NestedLoop" not in raw4, "")
+    check("ngram: reads materialized sets/postings (no shingle recompute)",
+          "ExistingRDD" in raw4 and "array_join" not in raw4, "")
 
     # 5. MinHash LSH join shape
     mh = C.minhash_lsh_query(spark, sf)
