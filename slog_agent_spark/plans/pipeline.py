@@ -444,3 +444,77 @@ def input_counters_oracle_sql() -> str:
         "CAST(sum(CASE WHEN NOT parse_ok THEN raw_length ELSE 0 END) AS BIGINT) AS malformed_bytes "
         "FROM parsed"
     )
+
+
+# -- gap-based conversation sessionization -----------------------------------
+SESSION_GAP_SECONDS = 3600
+
+
+def sessionize_ctes(
+    d: SqlDialect, rel: str, gap_seconds: int = SESSION_GAP_SECONDS
+) -> str:
+    """CTE chain splitting each conversation into sessions wherever the
+    inter-turn gap exceeds ``gap_seconds`` — the classic log-pipeline
+    sessionizer (lag → new-session flag → running sum), expressed
+    identically in both dialects.
+
+    Scale shape: two windows over the SAME (conv_id × turn_idx)
+    partitioning — one shuffle on conv_id, both window passes reuse it —
+    then a groupBy on (conv_id, session_idx), which is co-partitioned
+    with the windows (no second exchange needed by the optimizer).
+    """
+    us = d.unix_micros("ts")
+    gap_us = gap_seconds * 1_000_000
+    return f"""
+    g AS (
+      SELECT conv_id, turn_idx, {us} AS ts_us,
+             {us} - lag({us}) OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx) AS gap_us
+      FROM {rel}
+    ),
+    f AS (
+      SELECT conv_id, turn_idx, ts_us,
+             CASE WHEN gap_us IS NULL OR gap_us > {gap_us}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM g
+    ),
+    s AS (
+      SELECT conv_id, turn_idx, ts_us,
+             SUM(new_sess) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS session_idx
+      FROM f
+    )"""
+
+
+SESSIONIZE_FINAL = """
+    SELECT conv_id,
+           CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(min(turn_idx) AS BIGINT) AS first_turn,
+           CAST(max(turn_idx) AS BIGINT) AS last_turn,
+           CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us
+    FROM s
+    GROUP BY conv_id, session_idx
+"""
+
+
+def conversation_sessions_df(
+    spark: SparkSession, sf_dir: str, gap_seconds: int = SESSION_GAP_SECONDS
+) -> DataFrame:
+    """Session rollup per (conv_id, session_idx) over the transcript table."""
+    transcripts_df(spark, sf_dir).createOrReplaceTempView("transcripts_in")
+    return spark.sql(
+        "WITH " + sessionize_ctes(SPARK, "transcripts_in", gap_seconds)
+        + SESSIONIZE_FINAL
+    )
+
+
+def conversation_sessions_oracle_sql(
+    gap_seconds: int = SESSION_GAP_SECONDS,
+) -> str:
+    return (
+        "WITH transcripts_in AS (" + transcripts_oracle_cte() + "), "
+        + sessionize_ctes(DUCKDB, "transcripts_in", gap_seconds)
+        + SESSIONIZE_FINAL
+    )

@@ -122,3 +122,28 @@ def test_salting_spreads_hot_keyset(spark, sf_dir):
         assert P.passed_df(spark, sf_dir, salt_buckets=8).count() == df.count()
     finally:
         spark.conf.set(coalesce_key, prev)
+
+
+def test_sessionize_gap_bounds(spark, sf_dir):
+    """Gap-threshold limits: an infinite gap yields one session per
+    conversation; a zero gap splits at every positive inter-turn gap.
+    The default (1h) must land strictly between — real splits, no
+    degenerate all-or-nothing behavior on this fixture.
+    """
+    from slog_agent_spark.sources.transcripts import transcripts_df
+
+    t = transcripts_df(spark, sf_dir)
+    n_convs = t.select("conv_id").distinct().count()
+    n_turns = t.count()
+    one = P.conversation_sessions_df(spark, sf_dir, gap_seconds=10**9).count()
+    assert one == n_convs
+    split_all = P.conversation_sessions_df(spark, sf_dir, gap_seconds=0).count()
+    assert n_convs < split_all <= n_turns
+    default = P.conversation_sessions_df(spark, sf_dir).count()
+    assert n_convs < default < split_all
+    # every turn lands in exactly one session
+    per_turn = (
+        P.conversation_sessions_df(spark, sf_dir)
+        .agg(F.sum("n_turns").alias("s")).collect()[0]["s"]
+    )
+    assert per_turn == n_turns

@@ -188,6 +188,14 @@ def main() -> None:
     check("emb-neardup-trained: no cartesian",
           "CartesianProduct" not in raw8, "")
 
+    # 8b. sessionization: lag + running-sum windows + session rollup must
+    # all reuse ONE conv_id exchange (co-partitioned group-by)
+    ss = P.conversation_sessions_df(spark, sf)
+    raw8b = plan_of(ss)
+    n_ex8b = len(re.findall(r"Exchange hashpartitioning", raw8b))
+    check("sessionize: one shuffle shared by windows + rollup",
+          n_ex8b == 1, f"{n_ex8b} exchanges")
+
     # 9. corpus rollup: one shuffle, map-side partial agg before it
     cs = C.corpus_stats_query(spark, sf)
     raw9 = plan_of(cs)
