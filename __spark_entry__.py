@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             P.conversation_reassembly_df(spark, sf)
         ),
         "conversation_sessions": P.conversation_sessions_df,
+        "pipeline_team_enrich": P.team_enrich_rollup_df,
         "sink_serialized_events": lambda spark, sf: P.serialized_events_df(spark, sf),
         "sink_output_counters": lambda spark, sf: _cast_counts_long(
             P.output_counters_df(spark, sf)
@@ -129,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_input_counters": P.input_counters_oracle_sql(),
         "conversation_reassembly": P.conversation_reassembly_oracle_sql(),
         "conversation_sessions": P.conversation_sessions_oracle_sql(),
+        "pipeline_team_enrich": P.team_enrich_rollup_oracle_sql(),
         "sink_serialized_events": P.serialized_events_oracle_sql(),
         "sink_output_counters": P.output_counters_oracle_sql(),
         "doc_token_count": C.token_count_oracle(),

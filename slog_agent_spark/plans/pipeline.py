@@ -518,3 +518,58 @@ def conversation_sessions_oracle_sql(
         + sessionize_ctes(DUCKDB, "transcripts_in", gap_seconds)
         + SESSIONIZE_FINAL
     )
+
+
+# -- lookup-join enrichment (north rule: "lookup enrich") --------------------
+# Small ownership dimension: app → (team, tier). Deliberately NOT total —
+# unmapped apps fall through the LEFT JOIN to the 'unassigned' default,
+# like the reference's mapValue default branch, but via a real join
+# against a (broadcastable) dimension relation rather than an inlined
+# static map. At cluster scale the dimension is a table; Spark
+# broadcasts it (plan-audited), so the enrich adds ZERO shuffles.
+ENRICH_DIM: list[tuple[str, str, str]] = [
+    ("main", "core", "gold"),
+    ("appServ", "web", "silver"),
+    ("cron", "infra", "bronze"),
+]
+
+
+def enrich_dim_sql(d: SqlDialect) -> str:
+    rows = ", ".join(f"('{a}', '{t}', '{tr}')" for a, t, tr in ENRICH_DIM)
+    if d.name == d.SPARK:
+        return f"SELECT * FROM VALUES {rows} AS dim(app, team, tier)"
+    return f"SELECT * FROM (VALUES {rows}) dim(app, team, tier)"
+
+
+ENRICH_ROLLUP_FINAL = """
+    SELECT coalesce(dim.team, 'unassigned') AS team,
+           coalesce(dim.tier, 'none') AS tier,
+           CAST(sum(CASE WHEN NOT t.dropped THEN 1 ELSE 0 END) AS BIGINT)
+             AS passed_turns,
+           CAST(sum(CASE WHEN NOT t.dropped THEN t.raw_length ELSE 0 END)
+                AS BIGINT) AS passed_bytes
+    FROM {rel} t
+    LEFT JOIN dim ON t.app = dim.app
+    GROUP BY coalesce(dim.team, 'unassigned'), coalesce(dim.tier, 'none')
+"""
+
+
+def team_enrich_rollup_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-team rollup after the dimension-join enrichment.
+
+    Conditional aggregation (not a Filter over the layered projection —
+    the pushdown-inlining trap) keyed by the JOINED columns.
+    """
+    transformed_df(spark, sf_dir).createOrReplaceTempView("transformed_in")
+    return spark.sql(
+        f"WITH dim AS ({enrich_dim_sql(SPARK)})"
+        + ENRICH_ROLLUP_FINAL.format(rel="transformed_in")
+    )
+
+
+def team_enrich_rollup_oracle_sql() -> str:
+    return (
+        transformed_oracle_cte()
+        + f", dim AS ({enrich_dim_sql(DUCKDB)})"
+        + ENRICH_ROLLUP_FINAL.format(rel="transformed")
+    )

@@ -66,15 +66,29 @@ def type_mismatches(df, cur) -> list[str]:
     ]
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = build_session(master="local[8]", shuffle_partitions=16)
+def _fresh_con(sf_dir: str):
+    """One DuckDB connection PER QUERY, bounded memory/threads.
+
+    A single shared connection accumulated buffer-pool memory across the
+    29 oracle runs until mallocs failed mid-gate (observed: bad_alloc on
+    2KB blocks with >100GB system free before/after) — a fresh
+    connection releases everything, and the explicit limit makes DuckDB
+    spill instead of dying if one oracle spikes.
+    """
     con = duckdb.connect()
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET threads=8")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = build_session(master="local[8]", shuffle_partitions=16)
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
@@ -82,6 +96,7 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        con = _fresh_con(sf_dir)
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -129,6 +144,7 @@ def main() -> int:
             failures += 1
         else:
             print(f"PASS {name}: {len(s_rows)} rows in {time.time()-t0:.1f}s")
+        con.close()
     spark.stop()
     return 1 if failures else 0
 

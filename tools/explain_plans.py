@@ -188,6 +188,18 @@ def main() -> None:
     check("emb-neardup-trained: no cartesian",
           "CartesianProduct" not in raw8, "")
 
+    # 8a. lookup-enrich: the dimension join must broadcast (zero extra
+    # shuffles beyond the rollup's own aggregate exchange)
+    te = P.team_enrich_rollup_df(spark, sf)
+    raw8a = plan_of(te)
+    check("team-enrich: dimension join broadcasts",
+          "BroadcastHashJoin" in raw8a, "")
+    # the enrich itself must add NO shuffle on the join key (the other
+    # exchanges in this plan are the fixture's transcript derivation and
+    # the rollup's own aggregate — both present without the join)
+    check("team-enrich: no shuffle on the join key",
+          "Exchange hashpartitioning(app" not in raw8a, "")
+
     # 8b. sessionization: lag + running-sum windows + session rollup must
     # all reuse ONE conv_id exchange (co-partitioned group-by)
     ss = P.conversation_sessions_df(spark, sf)
