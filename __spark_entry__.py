@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "conversation_sessions": P.conversation_sessions_df,
         "pipeline_team_enrich": P.team_enrich_rollup_df,
+        "keyset_length_stats": P.keyset_length_stats_df,
         "sink_serialized_events": lambda spark, sf: P.serialized_events_df(spark, sf),
         "sink_output_counters": lambda spark, sf: _cast_counts_long(
             P.output_counters_df(spark, sf)
@@ -131,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "conversation_reassembly": P.conversation_reassembly_oracle_sql(),
         "conversation_sessions": P.conversation_sessions_oracle_sql(),
         "pipeline_team_enrich": P.team_enrich_rollup_oracle_sql(),
+        "keyset_length_stats": P.keyset_length_stats_oracle_sql(),
         "sink_serialized_events": P.serialized_events_oracle_sql(),
         "sink_output_counters": P.output_counters_oracle_sql(),
         "doc_token_count": C.token_count_oracle(),

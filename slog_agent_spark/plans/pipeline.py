@@ -573,3 +573,46 @@ def team_enrich_rollup_oracle_sql() -> str:
         + f", dim AS ({enrich_dim_sql(DUCKDB)})"
         + ENRICH_ROLLUP_FINAL.format(rel="transformed")
     )
+
+
+# -- per-keyset length distribution ------------------------------------------
+def keyset_length_stats_sql(d: SqlDialect, rel: str) -> str:
+    """Distribution of passed-record sizes per orchestration keyset:
+    count, exact mean, p50/p90/p99, max.
+
+    Cross-engine notes: Spark `percentile` and DuckDB `quantile_cont`
+    share linear-interpolation semantics (verified hash-identical);
+    avg() over INT is exact-integer-sum based in both engines, so no FP
+    summation-order divergence. NULL-skipping aggregates over a CASE
+    stand in for a Filter (the pushdown-inlining trap).
+
+    Scale note: Spark's exact percentile aggregates a per-group value
+    map — memory O(distinct values per group), fine for bounded-domain
+    measures like record length; for unbounded measures swap in
+    approx_percentile (t-digest sketch), same plan shape.
+    """
+    pct = "percentile" if d.name == d.SPARK else "quantile_cont"
+    passed = "CASE WHEN NOT dropped THEN raw_length END"
+    keys = ", ".join(ORCHESTRATION_KEYS)
+    return f"""
+    SELECT {keys},
+           CAST(count({passed}) AS BIGINT) AS n_passed,
+           round(avg({passed}), 4) AS mean_len,
+           round({pct}({passed}, 0.5), 4) AS p50_len,
+           round({pct}({passed}, 0.9), 4) AS p90_len,
+           round({pct}({passed}, 0.99), 4) AS p99_len,
+           CAST(max({passed}) AS BIGINT) AS max_len
+    FROM {rel}
+    GROUP BY {keys}
+    """
+
+
+def keyset_length_stats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    transformed_df(spark, sf_dir).createOrReplaceTempView("transformed_in")
+    return spark.sql(keyset_length_stats_sql(SPARK, "transformed_in"))
+
+
+def keyset_length_stats_oracle_sql() -> str:
+    return transformed_oracle_cte() + keyset_length_stats_sql(
+        DUCKDB, "transformed"
+    )
