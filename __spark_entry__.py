@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": C.corpus_stats_query,
         "corpus_retention": C.corpus_retention_query,
         "multimodal_feature_extract": lambda spark, sf: _mm_features(spark, sf),
+        "multimodal_frame_sample": lambda spark, sf: _mm_frames(spark, sf),
     }
 
 
@@ -112,6 +113,12 @@ def _mm_features(spark: SparkSession, sf: str) -> DataFrame:
     return extract_features(media_table(spark, sf)).withColumn(
         "doc_id", F.col("doc_id").cast("long")
     )
+
+
+def _mm_frames(spark: SparkSession, sf: str) -> DataFrame:
+    from slog_agent_spark.operators.multimodal import media_table, sample_frames
+
+    return sample_frames(media_table(spark, sf))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -153,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": C.corpus_stats_oracle(),
         "corpus_retention": C.corpus_retention_oracle(),
         "multimodal_feature_extract": _mm_oracle(),
+        "multimodal_frame_sample": _mm_frames_oracle(),
     }
 
 
@@ -161,3 +169,10 @@ def _mm_oracle() -> str:
     from slog_agent_spark.operators.multimodal import features_oracle_sql
 
     return features_oracle_sql(DUCKDB)
+
+
+def _mm_frames_oracle() -> str:
+    from slog_agent_spark.functions.dialect import DUCKDB
+    from slog_agent_spark.operators.multimodal import frames_oracle_sql
+
+    return frames_oracle_sql(DUCKDB)

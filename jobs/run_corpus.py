@@ -7,6 +7,7 @@ Usage (cluster):
         --data <dir with documents.parquet / embeddings.parquet> \\
         --output <result root> \\
         [--ops dedup_exact,dedup_minhash_lsh,...]   (default: all)
+        [--corpus-config corpus.yml]   (sketch/index sizing overrides)
 
 Runs the selected operators and writes each result as parquet under
 ``<output>/<op>/``. These are the standard pretraining-data passes:
@@ -48,10 +49,10 @@ EMB_OPS = (
 EXTRA_OPS = ("embedding_neardup_exact",)
 
 
-def registry():
+def registry(params=None):
     from slog_agent_spark.plans import corpus as C
 
-    return {
+    base = {
         "doc_token_count": C.token_count_query,
         "doc_quality_score": C.quality_query,
         "doc_language_id": C.langid_query,
@@ -66,6 +67,13 @@ def registry():
         "embedding_neardup_trained": C.emb_neardup_trained_query,
         "embedding_neardup_exact": C.emb_neardup_exact_query,
     }
+    if params is not None:
+        # rebind the parameterized operators to the configured sizing
+        # (plans/corpus_config.CorpusParams; defaults otherwise)
+        for name, (run, _oracle) in C.build_corpus_queries(params).items():
+            if name in base:
+                base[name] = run
+    return base
 
 
 def main(argv: list[str]) -> int:
@@ -75,11 +83,20 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--output", required=True)
     ap.add_argument("--ops", default=None,
                     help="comma-separated op names (default: all standard ops)")
+    ap.add_argument("--corpus-config", default=None,
+                    help="YAML file with a `corpus:` section of sketch/index "
+                         "parameters (see plans/corpus_config.CorpusParams)")
     args = ap.parse_args(argv)
 
     from slog_agent_spark.session import build_session
 
-    reg = registry()
+    params = None
+    if args.corpus_config:
+        from slog_agent_spark.plans.corpus_config import load_corpus_config
+
+        params = load_corpus_config(args.corpus_config)
+        print(f"corpus params: {params}")
+    reg = registry(params)
     ops = (
         [o.strip() for o in args.ops.split(",") if o.strip()]
         if args.ops

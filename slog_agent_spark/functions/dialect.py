@@ -191,19 +191,37 @@ class SqlDialect:
         return f"epoch_us({col})"
 
     # -- timestamps ----------------------------------------------------------
+
+    # The reference's accepted grammar (transform/tparsetime/rfc3339.go:
+    # 13-77): fixed punctuation at positions 4/7/10/13/16, optional
+    # .fraction (>=1 digit), optional 'Z' / ±hh:mm / ±hhmm zone. Both
+    # engines' formatless parsers are MORE permissive (space-separated
+    # datetimes, date-only strings), so parseTime gates on this shape
+    # first — keeping error-label behavior aligned with the reference.
+    # Remaining documented divergence: a zone-less value is local time in
+    # the reference but UTC here (session tz pinned); same instant only
+    # when the agent runs in UTC.
+    RFC3339_SHAPE = (
+        r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:?\d{2})?$"
+    )
+
     def try_to_timestamp(self, col: str) -> str:
-        """Parse RFC3339 (optional fraction, 'Z' or ±hh:mm offset) to a
-        UTC-normalized naive timestamp; NULL on failure.
+        """Parse RFC3339 (optional fraction, 'Z' or ±hh:mm/±hhmm offset)
+        to a UTC-normalized naive timestamp; NULL on failure or on any
+        shape the reference's strict parser rejects.
 
         reference: transform/tparsetime/tparsetime.go:53-67 (RFC3339 only).
-        Spark's formatless try_to_timestamp accepts ISO8601 with offsets
-        and resolves instants against the session tz (pinned to UTC by
-        session.py); DuckDB goes through TIMESTAMPTZ then shifts to UTC
-        explicitly so the result is independent of the connection tz.
+        Spark's formatless try_to_timestamp resolves instants against the
+        session tz (pinned to UTC by session.py); DuckDB goes through
+        TIMESTAMPTZ then shifts to UTC explicitly so the result is
+        independent of the connection tz.
         """
+        gate = self.rlike(col, self.RFC3339_SHAPE)
         if self.name == self.SPARK:
-            return f"try_to_timestamp({col})"
-        return f"timezone('UTC', try_cast({col} AS TIMESTAMPTZ))"
+            parse = f"try_to_timestamp({col})"
+        else:
+            parse = f"timezone('UTC', try_cast({col} AS TIMESTAMPTZ))"
+        return f"(CASE WHEN {gate} THEN {parse} END)"
 
 
 SPARK = SqlDialect(SqlDialect.SPARK)

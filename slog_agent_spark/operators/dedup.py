@@ -19,11 +19,16 @@ operator is DuckDB-oracle-checked.
 from __future__ import annotations
 
 from ..functions.dialect import SqlDialect
+from ..plans.corpus_config import CorpusParams, DEFAULT_CORPUS_PARAMS
 from .textops import tokens_expr
 
-MINHASH_K = 12          # signature size
-LSH_BANDS = 4           # bands of 3 rows each
-JACCARD_THRESHOLD = 0.35
+# Fixture-scale defaults now live in plans/corpus_config.CorpusParams
+# (the caller-facing knob — resizable via the `corpus:` YAML section
+# without editing the package). Aliases kept for default-sizing callers.
+_P = DEFAULT_CORPUS_PARAMS
+MINHASH_K = _P.minhash_k          # signature size
+LSH_BANDS = _P.lsh_bands          # bands of k/bands rows each
+JACCARD_THRESHOLD = _P.jaccard_threshold
 SIMHASH_BITS = 16
 
 
@@ -46,7 +51,10 @@ def shingles_expr(d: SqlDialect, text_col: str = "text") -> str:
     )
 
 
-def minhash_items(d: SqlDialect, arr_col: str = "shingle_set") -> dict[str, str]:
+def minhash_items(
+    d: SqlDialect, arr_col: str = "shingle_set",
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
+) -> dict[str, str]:
     """MinHash signature: k independent min-hashes over an
     ALREADY-MATERIALIZED shingle-hash array column.
 
@@ -58,7 +66,7 @@ def minhash_items(d: SqlDialect, arr_col: str = "shingle_set") -> dict[str, str]
     duplicate shingles, so the distinct set works for both the signature
     and the Jaccard verify."""
     items: dict[str, str] = {}
-    for i in range(MINHASH_K):
+    for i in range(params.minhash_k):
         if d.name == d.SPARK:
             items[f"mh{i}"] = (
                 f"array_min(transform({arr_col}, x -> md5(concat(x, 'seed{i}'))))"
@@ -70,11 +78,13 @@ def minhash_items(d: SqlDialect, arr_col: str = "shingle_set") -> dict[str, str]
     return items
 
 
-def band_exprs(d: SqlDialect) -> dict[str, str]:
+def band_exprs(
+    d: SqlDialect, params: CorpusParams = DEFAULT_CORPUS_PARAMS
+) -> dict[str, str]:
     """LSH band keys from an already-projected signature (mh0..mhK-1)."""
-    rows = MINHASH_K // LSH_BANDS
+    rows = params.minhash_k // params.lsh_bands
     out = {}
-    for b in range(LSH_BANDS):
+    for b in range(params.lsh_bands):
         cols = [f"mh{b * rows + r}" for r in range(rows)]
         out[f"band{b}"] = d.md5(d.concat(*cols))
     return out
@@ -102,7 +112,10 @@ def jaccard_expr(d: SqlDialect, a: str, b: str) -> str:
     return f"round(CAST({inter} AS DOUBLE) / greatest({union}, 1), 6)"
 
 
-def minhash_signatures_sql(d: SqlDialect, docs_rel: str = "documents") -> str:
+def minhash_signatures_sql(
+    d: SqlDialect, docs_rel: str = "documents",
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
+) -> str:
     """Stage 1 of MinHash-LSH: (doc_id, shingle_set, mh0..mhK-1).
 
     Split out so the Spark runner can MATERIALIZE it once: the pairs
@@ -113,7 +126,7 @@ def minhash_signatures_sql(d: SqlDialect, docs_rel: str = "documents") -> str:
     stage is a stored signature table anyway — computed once per
     ingestion batch, joined many times.
     """
-    mh = minhash_items(d)
+    mh = minhash_items(d, params=params)
     mh_sel = ", ".join(f"{e} AS {k}" for k, e in mh.items())
     sh = shingles_expr(d)
     dedup_shingles = (
@@ -127,10 +140,13 @@ def minhash_signatures_sql(d: SqlDialect, docs_rel: str = "documents") -> str:
     """
 
 
-def minhash_pairs_ctes(d: SqlDialect, sigs_rel: str) -> str:
+def minhash_pairs_ctes(
+    d: SqlDialect, sigs_rel: str,
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
+) -> str:
     """CTE chain from a signature relation to verified pairs (shared by
     the staged Spark runner and the single-SQL oracle composition)."""
-    bands = band_exprs(d)
+    bands = band_exprs(d, params)
     band_sel = ", ".join(f"{e} AS {k}" for k, e in bands.items())
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, shingle_set, '{b}' AS band_id, {b} AS band_key FROM sigs"
@@ -160,15 +176,21 @@ MINHASH_PAIRS_FINAL = (
 )
 
 
-def minhash_pairs_from_sigs_sql(d: SqlDialect, sigs_rel: str) -> str:
+def minhash_pairs_from_sigs_sql(
+    d: SqlDialect, sigs_rel: str,
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
+) -> str:
     """Stage 2 of MinHash-LSH, over a materialized signature relation."""
     return (
-        f"WITH {minhash_pairs_ctes(d, sigs_rel)} "
-        + MINHASH_PAIRS_FINAL.format(threshold=JACCARD_THRESHOLD)
+        f"WITH {minhash_pairs_ctes(d, sigs_rel, params)} "
+        + MINHASH_PAIRS_FINAL.format(threshold=params.jaccard_threshold)
     )
 
 
-def minhash_lsh_pairs_sql(d: SqlDialect, docs_rel: str = "documents") -> str:
+def minhash_lsh_pairs_sql(
+    d: SqlDialect, docs_rel: str = "documents",
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
+) -> str:
     """Candidate pairs from LSH band buckets, verified by true Jaccard
     (single-SQL composition of the two stages — the oracle form).
 
@@ -176,19 +198,19 @@ def minhash_lsh_pairs_sql(d: SqlDialect, docs_rel: str = "documents") -> str:
     self-join on band_key (the only shuffle) → distinct pairs → verify.
     """
     return (
-        f"WITH sig0 AS ({minhash_signatures_sql(d, docs_rel)}), "
-        + minhash_pairs_ctes(d, "sig0")
+        f"WITH sig0 AS ({minhash_signatures_sql(d, docs_rel, params)}), "
+        + minhash_pairs_ctes(d, "sig0", params)
         + " "
-        + MINHASH_PAIRS_FINAL.format(threshold=JACCARD_THRESHOLD)
+        + MINHASH_PAIRS_FINAL.format(threshold=params.jaccard_threshold)
     )
 
 
-NGRAM_DF_CAP = 100  # stop-shingle cut: shingles in more docs than this are noise
+NGRAM_DF_CAP = _P.ngram_df_cap  # stop-shingle cut (config: corpus.ngramDfCap)
 
 
 def ngram_jaccard_pairs_sql(
     d: SqlDialect, docs_rel: str = "documents",
-    threshold: float = JACCARD_THRESHOLD,
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
 ) -> str:
     """Exact all-pairs n-gram Jaccard via an inverted-index join.
 
@@ -206,10 +228,10 @@ def ngram_jaccard_pairs_sql(
     """
     return (
         f"WITH ns0 AS ({ngram_sets_sql(d, docs_rel)}), "
-        f"np0 AS ({ngram_postings_sql(d, 'ns0')}), "
+        f"np0 AS ({ngram_postings_sql(d, 'ns0', params)}), "
         + _ngram_pairs_ctes(d, "ns0", "np0")
         + " "
-        + _ngram_pairs_final(d, threshold)
+        + _ngram_pairs_final(d, params.jaccard_threshold)
     )
 
 
@@ -231,7 +253,10 @@ def ngram_sets_sql(d: SqlDialect, docs_rel: str = "documents") -> str:
     )
 
 
-def ngram_postings_sql(d: SqlDialect, sets_rel: str) -> str:
+def ngram_postings_sql(
+    d: SqlDialect, sets_rel: str,
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
+) -> str:
     """Stage 2: pruned inverted-index postings (doc_id, shingle) —
     df = 1 shingles skipped (cannot intersect), df > NGRAM_DF_CAP
     stop-shingles cut. Self-joined from both sides by the pair stage."""
@@ -243,7 +268,7 @@ def ngram_postings_sql(d: SqlDialect, sets_rel: str) -> str:
     freq AS (SELECT shingle, count(*) AS df FROM postings GROUP BY shingle)
     SELECT postings.doc_id, postings.shingle
     FROM postings JOIN freq ON postings.shingle = freq.shingle
-    WHERE freq.df BETWEEN 2 AND {NGRAM_DF_CAP}
+    WHERE freq.df BETWEEN 2 AND {params.ngram_df_cap}
     """
 
 
@@ -274,12 +299,12 @@ def ngram_pairs_from_postings_sql(
     d: SqlDialect,
     sets_rel: str,
     p_rel: str,
-    threshold: float = JACCARD_THRESHOLD,
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
 ) -> str:
     """Stage 3: the pair join + Jaccard, over materialized sets/postings."""
     return (
         f"WITH {_ngram_pairs_ctes(d, sets_rel, p_rel)} "
-        + _ngram_pairs_final(d, threshold)
+        + _ngram_pairs_final(d, params.jaccard_threshold)
     )
 
 
@@ -325,9 +350,9 @@ def simhash_groups_sql(d: SqlDialect, docs_rel: str = "documents") -> str:
 # 16-bit bands are right for fixture/10^6-doc corpora, but at 10^9+ docs
 # they collide massively; widen to 4×32-bit bands over a 128-bit sketch
 # (md5 supplies all 128 bits; same construction, hex digits 1..32).
-SIMHASH_BANDS = 4
-SIMHASH_BAND_BITS = 16
-SIMHASH_HAMMING_K = 3
+SIMHASH_BANDS = _P.simhash_bands
+SIMHASH_BAND_BITS = _P.simhash_band_bits
+SIMHASH_HAMMING_K = _P.simhash_hamming_k
 
 
 def simhash_band_items(
@@ -457,9 +482,9 @@ def simhash_pairs_from_sketches_sql(
 
 
 # -- corpus retention: the composite "cut the training set" pass -------------
-RETENTION_MIN_TOKENS = 20
-RETENTION_MIN_DISTINCT = 0.3
-RETENTION_MAX_STOPWORD = 0.2
+RETENTION_MIN_TOKENS = _P.retention_min_tokens
+RETENTION_MIN_DISTINCT = _P.retention_min_distinct
+RETENTION_MAX_STOPWORD = _P.retention_max_stopword
 
 
 def corpus_retention_ctes(d: SqlDialect, docs_rel: str, pairs_rel: str) -> str:
@@ -485,13 +510,15 @@ def corpus_retention_ctes(d: SqlDialect, docs_rel: str, pairs_rel: str) -> str:
     near_removed AS (SELECT DISTINCT doc_b AS doc_id FROM {pairs_rel})"""
 
 
-def corpus_retention_final(d: SqlDialect) -> str:
+def corpus_retention_final(
+    d: SqlDialect, params: CorpusParams = DEFAULT_CORPUS_PARAMS
+) -> str:
     keep_exact = "(k.keeper = q.doc_id)"
     keep_near = "(n.doc_id IS NULL)"
     keep_quality = (
-        f"(q.n_tokens >= {RETENTION_MIN_TOKENS} "
-        f"AND q.distinct_ratio >= {RETENTION_MIN_DISTINCT} "
-        f"AND q.stopword_ratio <= {RETENTION_MAX_STOPWORD})"
+        f"(q.n_tokens >= {params.retention_min_tokens} "
+        f"AND q.distinct_ratio >= {params.retention_min_distinct} "
+        f"AND q.stopword_ratio <= {params.retention_max_stopword})"
     )
     return f"""
     SELECT q.doc_id,
@@ -506,16 +533,20 @@ def corpus_retention_final(d: SqlDialect) -> str:
 
 
 def corpus_retention_from_pairs_sql(
-    d: SqlDialect, docs_rel: str, pairs_rel: str
+    d: SqlDialect, docs_rel: str, pairs_rel: str,
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
 ) -> str:
     """Retention decision over a (materialized) near-dup pair relation."""
     return (
         f"WITH {corpus_retention_ctes(d, docs_rel, pairs_rel)} "
-        + corpus_retention_final(d)
+        + corpus_retention_final(d, params)
     )
 
 
-def corpus_retention_sql(d: SqlDialect, docs_rel: str = "documents") -> str:
+def corpus_retention_sql(
+    d: SqlDialect, docs_rel: str = "documents",
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
+) -> str:
     """The composite training-set cut, single-SQL (oracle) form: one row
     per document with the three independent keep decisions and their
     conjunction:
@@ -532,10 +563,10 @@ def corpus_retention_sql(d: SqlDialect, docs_rel: str = "documents") -> str:
     the materialized MinHash signature stage (plans/corpus.py).
     """
     return (
-        f"WITH sig0 AS ({minhash_signatures_sql(d, docs_rel)}), "
-        + minhash_pairs_ctes(d, "sig0")
-        + f", pairs AS ({MINHASH_PAIRS_FINAL.format(threshold=JACCARD_THRESHOLD)}), "
+        f"WITH sig0 AS ({minhash_signatures_sql(d, docs_rel, params)}), "
+        + minhash_pairs_ctes(d, "sig0", params)
+        + f", pairs AS ({MINHASH_PAIRS_FINAL.format(threshold=params.jaccard_threshold)}), "
         + corpus_retention_ctes(d, docs_rel, "pairs")
         + " "
-        + corpus_retention_final(d)
+        + corpus_retention_final(d, params)
     )

@@ -31,8 +31,25 @@ FEATURE_SCHEMA = (
 )
 
 
+TRAILER_BYTES = 16
+
+
+def _trailer_byte_formula(doc_id: str, j: str) -> str:
+    """Byte j (0-based) of the deterministic binary trailer — covers
+    0x00-0xFF including invalid-UTF-8 values, so string-cast bugs in any
+    byte path CANNOT pass the fixtures (the round-2 sample_frames bug
+    survived only because payloads were pure ASCII). Plain ``%`` is
+    portable here: both operands are non-negative in both dialects."""
+    return f"(({doc_id} * 7 + {j} * 17 + 128) % 256)"
+
+
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthesize the media table: (doc_id, kind, payload binary, meta)."""
+    """Synthesize the media table: (doc_id, kind, payload binary, meta).
+
+    The payload is the document text's UTF-8 bytes plus a
+    TRAILER_BYTES-long raw-byte trailer with values ≥0x80 / invalid
+    UTF-8 — real media bytes, not text in disguise.
+    """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     kind = F.element_at(
         F.array(*[F.lit(k) for k in KINDS]),
@@ -43,10 +60,14 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("doc_id") % 16) * 48 + 48).cast("int").alias("height"),
         ((F.col("doc_id") % 30) * 1000 + 500).cast("int").alias("duration_ms"),
     )
+    trailer = F.expr(
+        f"unhex(array_join(transform(sequence(0, {TRAILER_BYTES - 1}), "
+        f"j -> lpad(hex({_trailer_byte_formula('doc_id', 'j')}), 2, '0')), ''))"
+    )
     return docs.select(
         "doc_id",
         kind.alias("kind"),
-        F.encode("text", "UTF-8").alias("payload"),
+        F.concat(F.encode("text", "UTF-8"), trailer).alias("payload"),
         meta.alias("meta"),
     )
 
@@ -111,10 +132,12 @@ def features_oracle_sql(d: SqlDialect, docs_rel: str = "documents") -> str:
         "list_sum(list_transform(range(1, CAST(least(length(text), 16) AS BIGINT) + 1), "
         "i -> ord(substr(text, CAST(i AS INT), 1))))"
     )
+    # head checksum covers the first 16 bytes only — the fixture's text
+    # is always ≥16 bytes (min 48), so the trailer never reaches the head
     return f"""
     SELECT doc_id,
            [{kinds}][CAST(doc_id % 3 AS INT) + 1] AS kind,
-           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CAST(octet_length(encode(text)) + {TRAILER_BYTES} AS INT) AS n_bytes,
            CAST({head} AS INT) AS head_checksum,
            CAST((doc_id % 16) * 64 + 64 AS INT) AS meta_width,
            CAST((doc_id % 30) * 1000 + 500 AS INT) AS meta_duration_ms
@@ -153,10 +176,20 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
 
     For real video this is the decode-keyframes step; the deterministic
     stand-in samples a byte every ``every_n_bytes`` — exercising the
-    explode/byte-slicing plumbing (posexplode over computed offsets)."""
+    explode/byte-slicing plumbing (posexplode over computed offsets).
+
+    Operates on the BINARY column directly: ``substring`` on binary
+    yields a 1-byte slice whose value is recovered via hex — correct for
+    all byte values 0x00-0xFF. (The previous ``CAST(payload AS STRING)``
+    mangled any non-UTF-8 byte; the media fixture now contains such
+    bytes precisely so this path stays honest.)"""
     n = F.octet_length("payload")
     offsets = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(every_n_bytes))
-    frame = F.expr(f"transform(sequence(1, greatest(octet_length(payload), 1), {every_n_bytes}), i -> ascii(substr(CAST(payload AS STRING), i, 1)))")
+    frame = F.expr(
+        f"transform(sequence(1, greatest(octet_length(payload), 1), "
+        f"{every_n_bytes}), "
+        "i -> CAST(conv(hex(substring(payload, i, 1)), 16, 10) AS INT))"
+    )
     return media.select(
         "doc_id", "kind",
         F.posexplode(F.arrays_zip(offsets.alias("off"), frame.alias("byte"))).alias("frame_idx", "z"),
@@ -165,3 +198,32 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         F.col("z.off").alias("offset"),
         F.col("z.byte").alias("byte_value"),
     )
+
+
+def frames_oracle_sql(
+    d: SqlDialect, every_n_bytes: int = 64, docs_rel: str = "documents"
+) -> str:
+    """DuckDB recomputation of sample_frames from the source text.
+
+    DuckDB cannot index BLOB bytes directly, so the text part reads the
+    byte from the full hex dump (byte-exact for any input encoding) and
+    the trailer part recomputes the generator formula.
+    """
+    kinds = ", ".join(f"'{k}'" for k in KINDS)
+    tlen = "octet_length(encode(text))"
+    text_byte = d.hex_digit("substr(hex(encode(text)), CAST(2 * off - 1 AS INT), 2)")
+    trailer_byte = _trailer_byte_formula("doc_id", f"(off - {tlen} - 1)")
+    return f"""
+    SELECT doc_id,
+           [{kinds}][CAST(doc_id % 3 AS INT) + 1] AS kind,
+           CAST((off - 1) // {every_n_bytes} AS INT) AS frame_idx,
+           CAST(off AS INT) AS offset,
+           CAST(CASE WHEN off <= {tlen} THEN {text_byte}
+                     ELSE {trailer_byte} END AS INT) AS byte_value
+    FROM {docs_rel}
+    CROSS JOIN LATERAL (
+      SELECT CAST(u.off AS BIGINT) AS off
+      FROM (SELECT unnest(generate_series(1,
+              greatest({tlen} + {TRAILER_BYTES}, 1), {every_n_bytes})) AS off) u
+    ) gen
+    """

@@ -16,10 +16,14 @@ engines and rounded, keeping the DuckDB oracle hash-identical.
 from __future__ import annotations
 
 from ..functions.dialect import SqlDialect
+from ..plans.corpus_config import CorpusParams, DEFAULT_CORPUS_PARAMS
 
-IVF_CENTROIDS = 8
-IVF_PROBES = 2
-TOPK = 10
+# Fixture-scale defaults live in plans/corpus_config.CorpusParams (the
+# caller-facing knob); aliases kept for default-sizing callers.
+_P = DEFAULT_CORPUS_PARAMS
+IVF_CENTROIDS = _P.ivf_centroids
+IVF_PROBES = _P.ivf_probes
+TOPK = _P.topk
 
 
 def dot_expr(d: SqlDialect, a: str, b: str) -> str:
@@ -90,16 +94,20 @@ def ann_bruteforce_sql(
     """
 
 
-def ivf_assign_sql(d: SqlDialect, emb_rel: str = "embeddings") -> str:
+def ivf_assign_sql(
+    d: SqlDialect, emb_rel: str = "embeddings",
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
+) -> str:
     """Assign every vector to its nearest deterministic centroid.
 
-    Centroids = the first IVF_CENTROIDS vectors (deterministic, shared
-    with the oracle). The centroid side is tiny → broadcast join at scale.
+    Centroids = the first ``params.ivf_centroids`` vectors
+    (deterministic, shared with the oracle). The centroid side is tiny →
+    broadcast join at scale.
     """
     cos = cosine_expr(d, "e.embedding", "c.embedding")
     return f"""
     WITH c AS (SELECT vec_id AS centroid_id, embedding
-               FROM {emb_rel} WHERE vec_id < {IVF_CENTROIDS}),
+               FROM {emb_rel} WHERE vec_id < {params.ivf_centroids}),
     scored AS (
       SELECT e.vec_id, c.centroid_id, {cos} AS cos_c
       FROM {emb_rel} e, c
@@ -115,14 +123,17 @@ def ivf_assign_sql(d: SqlDialect, emb_rel: str = "embeddings") -> str:
 
 
 def ivf_topk_sql(
-    d: SqlDialect, query_vec_id: int = 0, k: int = TOPK,
+    d: SqlDialect, query_vec_id: int = 0, k: int | None = None,
     emb_rel: str = "embeddings",
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
 ) -> str:
-    """ANN top-k probing the IVF_PROBES centroid lists nearest the query."""
+    """ANN top-k probing the ``params.ivf_probes`` centroid lists nearest
+    the query."""
+    k = params.topk if k is None else k
     cos_q = cosine_prenorm_expr(
         d, "e.embedding", "q.embedding", norm_expr(d, "e.embedding"), "q.qn"
     )
-    assign = ivf_assign_sql(d, emb_rel)
+    assign = ivf_assign_sql(d, emb_rel, params)
     return f"""
     WITH assigned AS ({assign}),
     q AS (SELECT embedding, {norm_expr(d, "embedding")} AS qn
@@ -132,11 +143,11 @@ def ivf_topk_sql(
       UNION ALL
       SELECT centroid_id FROM (
         SELECT c.vec_id AS centroid_id,
-               row_number() OVER (
+               row_number() OVER (PARTITION BY 'all'
                  ORDER BY {cosine_expr(d, "c.embedding", "q.embedding")} DESC,
                           c.vec_id) AS rn
-        FROM {emb_rel} c, q WHERE c.vec_id < {IVF_CENTROIDS}
-      ) ranked_probe WHERE rn <= {IVF_PROBES}
+        FROM {emb_rel} c, q WHERE c.vec_id < {params.ivf_centroids}
+      ) ranked_probe WHERE rn <= {params.ivf_probes}
     ),
     probe_set AS (SELECT DISTINCT centroid_id FROM probe),
     pruned AS (
@@ -151,10 +162,10 @@ def ivf_topk_sql(
     """
 
 
-KMEANS_SAMPLE_MOD = 5    # deterministic 20% training sample (hash-picked)
-KMEANS_ITERS = 2
-TRAINED_CENTROIDS = 16   # trained variant oversegments (lists ≥ clusters)
-TRAINED_PROBES = 3
+KMEANS_SAMPLE_MOD = _P.kmeans_sample_mod  # deterministic 1/mod sample (hash-picked)
+KMEANS_ITERS = _P.kmeans_iters
+TRAINED_CENTROIDS = _P.trained_centroids  # oversegments (lists ≥ clusters)
+TRAINED_PROBES = _P.trained_probes
 
 
 def _arr_at(d: SqlDialect, arr: str, idx1: str) -> str:
@@ -178,8 +189,9 @@ def kmeans_centroids_ctes(
     hash-ordered seeds, fixed iteration count, per-dimension means
     rounded to 4 decimals each round (so float summation order cannot
     flip an assignment between engines). Each iteration is one
-    broadcast-join argmax + one per-dimension mean aggregation over the
-    sample only.
+    broadcast-join argmax + one bucket-wise VECTOR mean over the sample
+    only — on Spark a two-phase elementwise zip_with tree aggregate
+    (shuffles sample rows once; never sample × dims exploded rows).
 
     Scale note: the sample is 1/``sample_mod`` of the corpus — at 10^12
     vectors the CALLER must raise ``sample_mod`` so n/sample_mod lands
@@ -211,33 +223,53 @@ def kmeans_centroids_ctes(
             f"ORDER BY {cos} DESC, c.centroid_id) AS rn "
             f"FROM samp s CROSS JOIN {prev} c) x WHERE rn = 1)"
         )
-        val = _arr_at(d, "s.emb", "t.pos")
         if d.name == d.SPARK:
-            explode = (
+            # Bucket-wise VECTOR mean, no per-dimension explode: the old
+            # d{t} stage unnested sample × dims rows through a
+            # (centroid, pos) shuffle — 10^8-10^9 shuffled rows per
+            # iteration at the documented training budget. Instead, sum
+            # vectors elementwise with a two-phase tree aggregate:
+            # sub-buckets of ~1/64 of a list first (bounds the
+            # collect_list buffer), then combine the ≤64 partial sums
+            # per centroid. Rows shuffled = sample rows, once.
+            def esum(lst: str) -> str:
+                zero = f"transform(element_at({lst}, 1), x -> CAST(0 AS DOUBLE))"
+                return (
+                    f"aggregate({lst}, {zero}, "
+                    f"(acc, v) -> zip_with(acc, v, (p, q) -> p + q))"
+                )
+
+            sub = "pmod(xxhash64(s.vec_id), 64)"
+            parts.append(
+                f"p{t} AS (SELECT a.centroid_id, {sub} AS sub, "
+                f"count(*) AS cnt, {esum('collect_list(s.emb)')} AS sums "
                 f"FROM a{t} a JOIN samp s USING (vec_id) "
-                f"LATERAL VIEW explode(sequence(1, size(s.emb))) t AS pos"
+                f"GROUP BY a.centroid_id, {sub})"
+            )
+            parts.append(
+                f"c{t} AS (SELECT centroid_id, "
+                f"transform(sums_total, x -> round(x / cnt_total, 4)) AS emb "
+                f"FROM (SELECT centroid_id, "
+                f"{esum('collect_list(sums)')} AS sums_total, "
+                f"sum(cnt) AS cnt_total "
+                f"FROM p{t} GROUP BY centroid_id) z)"
             )
         else:
-            explode = (
+            # oracle dialect: fixture-scale only, the per-dimension
+            # unnest is fine and keeps the SQL simple
+            val = _arr_at(d, "s.emb", "t.pos")
+            parts.append(
+                f"d{t} AS (SELECT a.centroid_id, t.pos, avg({val}) AS v "
                 f"FROM a{t} a JOIN samp s USING (vec_id) "
                 f"CROSS JOIN LATERAL (SELECT unnest(generate_series(1, "
-                f"len(s.emb))) AS pos) t"
+                f"len(s.emb))) AS pos) t "
+                f"GROUP BY a.centroid_id, t.pos)"
             )
-        parts.append(
-            f"d{t} AS (SELECT a.centroid_id, t.pos, avg({val}) AS v "
-            f"{explode} GROUP BY a.centroid_id, t.pos)"
-        )
-        if d.name == d.SPARK:
-            rebuild = (
-                "transform(array_sort(collect_list(struct(pos, v))), "
-                "x -> round(x.v, 4))"
+            parts.append(
+                f"c{t} AS (SELECT centroid_id, "
+                f"list(round(v, 4) ORDER BY pos) AS emb "
+                f"FROM d{t} GROUP BY centroid_id)"
             )
-        else:
-            rebuild = "list(round(v, 4) ORDER BY pos)"
-        parts.append(
-            f"c{t} AS (SELECT centroid_id, {rebuild} AS emb "
-            f"FROM d{t} GROUP BY centroid_id)"
-        )
         prev = f"c{t}"
     return ", ".join(parts), prev
 
@@ -245,7 +277,8 @@ def kmeans_centroids_ctes(
 def ivf_centroids_sql(
     d: SqlDialect,
     emb_rel: str = "embeddings",
-    n_centroids: int = TRAINED_CENTROIDS,
+    n_centroids: int | None = None,
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
 ) -> str:
     """The k-means training stage as a standalone query:
     (centroid_id, emb).
@@ -257,15 +290,20 @@ def ivf_centroids_sql(
     At corpus scale this is how IVF works anyway: train once, store the
     centroid table, broadcast it to every assignment job.
     """
-    kmeans, cents = kmeans_centroids_ctes(d, emb_rel, n_centroids=n_centroids)
+    kmeans, cents = kmeans_centroids_ctes(
+        d, emb_rel,
+        n_centroids=params.trained_centroids if n_centroids is None else n_centroids,
+        sample_mod=params.kmeans_sample_mod, iters=params.kmeans_iters,
+    )
     return f"WITH {kmeans} SELECT centroid_id, emb FROM {cents}"
 
 
 def ann_ivf_trained_sql(
-    d: SqlDialect, query_vec_id: int = 0, k: int = TOPK,
-    emb_rel: str = "embeddings", probes: int = TRAINED_PROBES,
-    n_centroids: int = TRAINED_CENTROIDS,
+    d: SqlDialect, query_vec_id: int = 0, k: int | None = None,
+    emb_rel: str = "embeddings", probes: int | None = None,
+    n_centroids: int | None = None,
     cents_rel: str | None = None,
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
 ) -> str:
     """ANN top-k over k-means-trained IVF lists (probe the best lists).
 
@@ -277,9 +315,14 @@ def ann_ivf_trained_sql(
     :func:`ivf_centroids_sql`); without it the k-means CTEs are inlined
     (the single-SQL oracle form).
     """
+    k = params.topk if k is None else k
+    probes = params.trained_probes if probes is None else probes
+    if n_centroids is None:
+        n_centroids = params.trained_centroids
     if cents_rel is None:
         kmeans, cents = kmeans_centroids_ctes(
-            d, emb_rel, n_centroids=n_centroids
+            d, emb_rel, n_centroids=n_centroids,
+            sample_mod=params.kmeans_sample_mod, iters=params.kmeans_iters,
         )
         prelude = f"WITH {kmeans},"
     else:
@@ -305,7 +348,7 @@ def ann_ivf_trained_sql(
     probe_set AS (
       SELECT centroid_id FROM (
         SELECT c.centroid_id,
-               row_number() OVER (ORDER BY {cos_probe} DESC, c.centroid_id) AS rn
+               row_number() OVER (PARTITION BY 'all' ORDER BY {cos_probe} DESC, c.centroid_id) AS rn
         FROM {cents} c CROSS JOIN q
       ) rp WHERE rn <= {probes}
     ),
@@ -372,9 +415,10 @@ def embedding_neardup_trained_sql(
     d: SqlDialect,
     threshold: float = 0.3,
     emb_rel: str = "embeddings",
-    n_centroids: int = TRAINED_CENTROIDS,
+    n_centroids: int | None = None,
     assign_r: int = 2,
     cents_rel: str | None = None,
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
 ) -> str:
     """Near-duplicate pairs over k-means-trained IVF lists with
     multi-assignment: every vector lands in its ``assign_r`` closest
@@ -387,9 +431,12 @@ def embedding_neardup_trained_sql(
     ~assign_r² × in-bucket pairs, never O(n²); DISTINCT dedups the
     multi-list collisions before the (expensive) cosine verify.
     """
+    if n_centroids is None:
+        n_centroids = params.trained_centroids
     if cents_rel is None:
         kmeans, cents = kmeans_centroids_ctes(
-            d, emb_rel, n_centroids=n_centroids
+            d, emb_rel, n_centroids=n_centroids,
+            sample_mod=params.kmeans_sample_mod, iters=params.kmeans_iters,
         )
         prelude = f"WITH {kmeans},"
     else:

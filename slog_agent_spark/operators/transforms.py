@@ -156,22 +156,80 @@ def _named_groups_to_plain(pattern: str) -> tuple[str, dict[str, int]]:
 
 
 def _required_literal(pattern: str, min_len: int = 4) -> str | None:
-    """Longest literal substring every match of ``pattern`` must contain,
-    or None. Conservative: bail on alternation/escapes; trim the last
-    char of a fragment adjoining a quantifier (it may be optional)."""
-    if "|" in pattern or "\\" in pattern:
+    """Longest literal run every match of ``pattern`` must contain, or
+    None.
+
+    Scans the pattern *after* named-group syntax is stripped and only
+    collects runs at group-nesting depth 0: anything inside ``(...)``
+    may be made optional by a trailing ``?``/``*``/``{0,n}``, and group
+    syntax (``?P<name>``) or character-class bodies must never be
+    mistaken for literals (a raw-pattern split once returned
+    ``P<username>`` for ``(?P<username>...)``, silently disabling the
+    step via the contains() precheck). Conservative: bails on
+    alternation; breaks runs on escapes/classes/metachars; drops a char
+    directly quantified by ``?``/``*``/``{`` (``+`` keeps it — the char
+    still occurs at least once, contiguously)."""
+    plain, _ = _named_groups_to_plain(pattern)
+    if "|" in plain:
         return None
-    frags = re.split(r"[\[\](){}?*+^$.]", pattern)
     best = ""
-    pos = 0
-    for frag in frags:
-        start = pattern.find(frag, pos)
-        end = start + len(frag)
-        pos = end
-        if end < len(pattern) and pattern[end] in "?*{":
-            frag = frag[:-1]
-        if len(frag) > len(best):
-            best = frag
+    cur = ""
+    depth = 0
+    i = 0
+    n = len(plain)
+
+    def flush() -> None:
+        nonlocal best, cur
+        if len(cur) > len(best):
+            best = cur
+        cur = ""
+
+    while i < n:
+        c = plain[i]
+        if c == "\\":  # escape: conservatively break the run
+            flush()
+            i += 2
+            continue
+        if c == "[":  # skip the whole class body
+            flush()
+            i += 1
+            if i < n and plain[i] == "^":
+                i += 1
+            if i < n and plain[i] == "]":  # leading ] is literal
+                i += 1
+            while i < n and plain[i] != "]":
+                i += 2 if plain[i] == "\\" else 1
+            i += 1
+            continue
+        if c == "(":
+            flush()
+            depth += 1
+            i += 1
+            continue
+        if c == ")":
+            flush()
+            depth = max(0, depth - 1)
+            i += 1
+            continue
+        if c == "{":  # skip the {m,n} body — not literal text
+            flush()
+            while i < n and plain[i] != "}":
+                i += 1
+            i += 1
+            continue
+        if c in "?*+}^$.":
+            flush()
+            i += 1
+            continue
+        if depth == 0:
+            nxt = plain[i + 1] if i + 1 < n else ""
+            if nxt and nxt in "?*{":  # char itself may match zero times
+                flush()
+                i += 1
+                continue
+            cur += c
+        i += 1
+    flush()
     return best if len(best) >= min_len else None
 
 

@@ -173,3 +173,127 @@ corpus_retention_query, corpus_retention_oracle = _staged_query(
     dedup.corpus_retention_sql,
     ("documents",),
 )
+
+
+def build_corpus_queries(params):
+    """Param-bound (run, oracle) pairs for every corpus operator with
+    configurable sketch/index sizing (plans/corpus_config.CorpusParams
+    — the caller-facing knob the module-level defaults above bind to
+    DEFAULT_CORPUS_PARAMS).
+
+    Used by jobs/run_corpus.py (``--corpus-config`` YAML) and the
+    parameterization tests; the staged-materialization shapes are
+    identical to the default pairs, only the sizing changes.
+    """
+    return {
+        "dedup_minhash_lsh": _staged_query(
+            [
+                (
+                    "minhash_sigs",
+                    lambda d: dedup.minhash_signatures_sql(d, params=params),
+                )
+            ],
+            lambda d: dedup.minhash_pairs_from_sigs_sql(
+                d, "minhash_sigs", params
+            ),
+            lambda d: dedup.minhash_lsh_pairs_sql(d, params=params),
+            ("documents",),
+        ),
+        "dedup_simhash_neardup": _staged_query(
+            [
+                (
+                    "simhash_sketches",
+                    lambda d: dedup.simhash_sketches_sql(
+                        d, bands=params.simhash_bands,
+                        band_bits=params.simhash_band_bits,
+                    ),
+                )
+            ],
+            lambda d: dedup.simhash_pairs_from_sketches_sql(
+                d, "simhash_sketches", k=params.simhash_hamming_k,
+                bands=params.simhash_bands,
+                band_bits=params.simhash_band_bits,
+            ),
+            lambda d: dedup.simhash_neardup_pairs_sql(
+                d, k=params.simhash_hamming_k, bands=params.simhash_bands,
+                band_bits=params.simhash_band_bits,
+            ),
+            ("documents",),
+        ),
+        "dedup_ngram_jaccard": _staged_query(
+            [
+                ("ngram_sets", dedup.ngram_sets_sql),
+                (
+                    "ngram_postings",
+                    lambda d: dedup.ngram_postings_sql(d, "ngram_sets", params),
+                ),
+            ],
+            lambda d: dedup.ngram_pairs_from_postings_sql(
+                d, "ngram_sets", "ngram_postings", params
+            ),
+            lambda d: dedup.ngram_jaccard_pairs_sql(d, params=params),
+            ("documents",),
+        ),
+        "ann_topk_bruteforce": _sql_query(
+            lambda d: similarity.ann_bruteforce_sql(d, k=params.topk),
+            ("embeddings",),
+        ),
+        "ann_topk_ivf": _sql_query(
+            lambda d: similarity.ivf_topk_sql(d, params=params),
+            ("embeddings",),
+        ),
+        "ann_topk_ivf_trained": _staged_query(
+            [
+                (
+                    "ivf_centroids",
+                    lambda d: similarity.ivf_centroids_sql(d, params=params),
+                )
+            ],
+            lambda d: similarity.ann_ivf_trained_sql(
+                d, cents_rel="ivf_centroids", params=params
+            ),
+            lambda d: similarity.ann_ivf_trained_sql(d, params=params),
+            ("embeddings",),
+        ),
+        "embedding_neardup_trained": _staged_query(
+            [
+                (
+                    "ivf_centroids",
+                    lambda d: similarity.ivf_centroids_sql(d, params=params),
+                ),
+                (
+                    "ivf_assigned",
+                    lambda d: similarity.ivf_multi_assign_sql(
+                        d, "embeddings", "ivf_centroids"
+                    ),
+                ),
+                ("emb_norms", similarity.emb_norms_sql),
+            ],
+            lambda d: similarity.neardup_pairs_from_assigned_sql(
+                d, "emb_norms", "ivf_assigned"
+            ),
+            lambda d: similarity.embedding_neardup_trained_sql(
+                d, params=params
+            ),
+            ("embeddings",),
+        ),
+        "corpus_retention": _staged_query(
+            [
+                (
+                    "minhash_sigs",
+                    lambda d: dedup.minhash_signatures_sql(d, params=params),
+                ),
+                (
+                    "minhash_pairs",
+                    lambda d: dedup.minhash_pairs_from_sigs_sql(
+                        d, "minhash_sigs", params
+                    ),
+                ),
+            ],
+            lambda d: dedup.corpus_retention_from_pairs_sql(
+                d, "documents", "minhash_pairs", params
+            ),
+            lambda d: dedup.corpus_retention_sql(d, params=params),
+            ("documents",),
+        ),
+    }

@@ -70,10 +70,17 @@ def drop_pattern(rate: int, n: int) -> list[bool]:
 
 
 def _inject_drop_decisions(
-    df: DataFrame, transformations: list[dict], n_records: int
+    df: DataFrame, transformations: list[dict], n_records: int,
+    partition_cols: list[str] | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Compute sequential decision columns for every percentage-drop step
-    and return (df-with-decisions, steps-with-decisionExpr)."""
+    and return (df-with-decisions, steps-with-decisionExpr).
+
+    ``partition_cols`` scopes the sampler state PER KEYSET — the agent
+    harness runs one sequential sampler per orchestration key set
+    (ref: orchestrate/obykeyset/orchestrator.go: each keyset owns its
+    pipeline, hence its own tdrop state), while the pipeline harness
+    runs one global sampler."""
     steps = copy.deepcopy(transformations)
     alive = "TRUE"
     jobs: list[tuple[str, str, int]] = []  # (col, matched_expr, pct)
@@ -109,7 +116,10 @@ def _inject_drop_decisions(
                 walk(s.get("steps", []), guard)
 
     walk(steps, "TRUE")
-    w = Window.orderBy("rid").rowsBetween(Window.unboundedPreceding, 0)
+    base_w = (
+        Window.partitionBy(*partition_cols) if partition_cols else Window
+    )
+    w = base_w.orderBy("rid").rowsBetween(Window.unboundedPreceding, 0)
     for col, matched_expr, pct in jobs:
         pattern = drop_pattern(pct, max(n_records, 1))
         arr = F.array(*[F.lit(b) for b in pattern])
@@ -143,13 +153,22 @@ def run_corpus(
     spark: SparkSession,
     cfg: PipelineConfig,
     records: list[str],
-    tag_override: str,
+    tag_override: str | None = None,
+    keys: list[str] | None = None,
+    tag_template: str | None = None,
 ) -> dict:
     """Run one corpus; return events (input order) + counters.
 
     Mirrors the reference's test pipeline (ref: test/pipeline.go:96-130):
     parse each record, run extractions + transformations, serialize for
     every output with the tag overridden to the corpus title.
+
+    With ``keys``/``tag_template`` set it instead mirrors the AGENT
+    harness (ref: test/agent_test.go:26-27 — keys overridden to
+    ``[host]``, tag ``$host``): records are grouped onto the keyset,
+    the percentage-drop sampler state is per keyset, the tag is the
+    expanded template, process counters carry the keyset labels, and
+    each returned event includes its tag for per-sink splitting.
     """
     from ..functions.redact import redact_email_udf
 
@@ -174,6 +193,7 @@ def run_corpus(
         "extraction chains with drops/counters not supported by the runner"
     )
     df1 = apply_chain_spark(parsed.where("parse_ok"), ext)
+    keys = keys or []
     keep = (
         ["rid", "raw_length"]
         + cfg.schema_fields
@@ -181,11 +201,18 @@ def run_corpus(
         # metric keyset snapshot: selected BEFORE transformations
         # (ref: test/pipeline.go:118 SelectMetricKeySet)
         + [F.col(k).alias(f"_mk_{k}") for k in cfg.metric_keys]
+        # orchestration keyset snapshot: the router reads the keys when
+        # the record enters the orchestrator, before the per-pipeline
+        # transform chain (ref: orchestrate/obykeyset/orchestrator.go)
+        + [F.col(k).alias(f"_key_{k}") for k in keys]
     )
     df1 = df1.select(*keep)
 
     # -- sequential percentage-drop decisions, then the transform chain
-    df1, steps = _inject_drop_decisions(df1, cfg.transformations, len(records))
+    df1, steps = _inject_drop_decisions(
+        df1, cfg.transformations, len(records),
+        partition_cols=[f"_key_{k}" for k in keys] or None,
+    )
     _mark_exact_redact(steps)
     chain = compile_chain(SPARK, steps, cfg.schema_fields, set(df1.columns))
     staged = apply_chain_spark(df1, chain)
@@ -194,6 +221,8 @@ def run_corpus(
         sel[f2] = f2
     for k in cfg.metric_keys:
         sel[f"_mk_{k}"] = f"_mk_{k}"
+    for k in keys:
+        sel[f"_key_{k}"] = f"_key_{k}"
     sel["ts"] = chain.ts_col or "CAST(NULL AS TIMESTAMP)"
     sel["unescaped"] = chain.unescaped_col
     sel["dropped"] = chain.dropped_col
@@ -206,11 +235,20 @@ def run_corpus(
     final = final.cache()
 
     # -- serialized events, input order (ref: eventserializer goldens)
-    tag_lit = SPARK.lit(tag_override)
+    if tag_template is not None:
+        from ..functions.template import compile_template
+
+        tag_lit = compile_template(
+            tag_template, SPARK,
+            resolver=lambda name: f"_key_{name}" if name in keys else name,
+        )
+    else:
+        tag_lit = SPARK.lit(tag_override)
     passed = final.where("NOT dropped")
     events = (
         passed.select(
             "rid",
+            F.expr(tag_lit).alias("_tag"),
             *[
                 F.expr(
                     fluentd_event(SPARK, ocfg, tag_lit, cfg.schema_fields)
@@ -224,8 +262,9 @@ def run_corpus(
         .collect()
     )
 
-    # -- process counters per metric keyset (ref: base/logprocesscounterset.go)
-    mk = [f"_mk_{k}" for k in cfg.metric_keys]
+    # -- process counters per (orchestration ×) metric keyset
+    # (ref: base/logprocesscounterset.go)
+    mk = [f"_key_{k}" for k in keys] + [f"_mk_{k}" for k in cfg.metric_keys]
     aggs = [
         F.sum(F.when(~F.col("dropped"), 1).otherwise(0)).alias("passed_records"),
         F.sum(F.when(~F.col("dropped"), F.col("raw_length")).otherwise(0)).alias("passed_bytes"),
@@ -257,7 +296,7 @@ def run_corpus(
     return {
         "events": events,
         "metrics": metrics,
-        "metric_keys": list(cfg.metric_keys),
+        "metric_keys": list(keys) + list(cfg.metric_keys),
         "input": {
             "passed_records": inrow["passed_records"] or 0,
             "passed_bytes": inrow["passed_bytes"] or 0,

@@ -37,6 +37,7 @@ from .config import (
     ORCHESTRATION_TAG,
     SCHEMA_FIELDS,
     TRANSFORMATIONS,
+    PipelineConfig,
 )
 from .yaml_config import PipelineConfig
 
@@ -139,6 +140,7 @@ def run_fanout(
     sink_dir: str,
     salt_buckets: int = 8,
     max_records_per_file: int = 0,
+    cfg: PipelineConfig | None = None,
 ) -> DataFrame:
     """The canonical multi-consumer job: per-sink writes + metrics.
 
@@ -165,7 +167,8 @@ def run_fanout(
     """
     from ..operators.metrics import process_metrics
 
-    keys = [F.col(k) for k in ORCHESTRATION_KEYS]
+    cfg = cfg or DEFAULT_CONFIG
+    keys = [F.col(k) for k in cfg.orchestration_keys]
     salt = F.pmod(F.xxhash64("conv_id"), F.lit(max(salt_buckets, 1)))
     # the partition columns lead the sort: a dynamic-partition write
     # requires rows ordered by its partition columns, and when the child
@@ -187,7 +190,7 @@ def run_fanout(
     writer.partitionBy("dropped", "tag").parquet(sink_dir)
     # partition-column values come back as strings; restore the flag type
     back = spark_read_sink(transformed, sink_dir)
-    metrics = process_metrics(back)
+    metrics = process_metrics(back, cfg)
     metrics.count()
     return metrics
 
@@ -205,31 +208,34 @@ def run_singleton(
     transformed: DataFrame,
     sink_dir: str,
     max_records_per_file: int = 0,
+    cfg: PipelineConfig | None = None,
 ) -> DataFrame:
     """Singleton orchestration: ONE pipeline/sink, no key redistribution,
     static tag (reference: orchestrate/osingleton/orchestrator.go:28-48).
 
-    The Spark shape: metrics once, then a single un-partitioned write —
-    no repartition (no shuffle), order imposed per input partition only,
-    exactly the reference's one-queue FIFO analogue.
+    The Spark shape mirrors run_fanout's measured-cheapest single-pass
+    plan: no repartition (no shuffle), one ``dropped``-partitioned write
+    (passed rows under ``dropped=false/`` — the one sink — dropped rows
+    in the ``dropped=true/`` quarantine tier), order imposed per input
+    partition only (the reference's one-queue FIFO analogue), and
+    metrics from a columnar read-back. No full-width persist — caching
+    the 34-column transformed frame costs more than the chain itself
+    and spills at cluster scale (see run_fanout's rationale).
     """
     from ..operators.metrics import process_metrics
 
-    transformed = transformed.persist()
-    try:
-        metrics = process_metrics(transformed)
-        metrics.count()
-        writer = (
-            transformed.where("NOT dropped")
-            .sortWithinPartitions("conv_id", "turn_idx")
-            .write.mode("overwrite")
-        )
-        if max_records_per_file > 0:
-            writer = writer.option("maxRecordsPerFile", max_records_per_file)
-        writer.parquet(sink_dir)
-        return metrics
-    finally:
-        transformed.unpersist()
+    cfg = cfg or DEFAULT_CONFIG
+    writer = (
+        transformed.sortWithinPartitions("dropped", "conv_id", "turn_idx")
+        .write.mode("overwrite")
+    )
+    if max_records_per_file > 0:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy("dropped").parquet(sink_dir)
+    back = spark_read_sink(transformed, sink_dir)
+    metrics = process_metrics(back, cfg)
+    metrics.count()
+    return metrics
 
 
 def run_sinks(
@@ -242,8 +248,8 @@ def run_sinks(
     cfg = cfg or DEFAULT_CONFIG
     if cfg.orchestration_type == "singleton":
         kw.pop("salt_buckets", None)
-        return run_singleton(transformed, sink_dir, **kw)
-    return run_fanout(transformed, sink_dir, **kw)
+        return run_singleton(transformed, sink_dir, cfg=cfg, **kw)
+    return run_fanout(transformed, sink_dir, cfg=cfg, **kw)
 
 
 def routed_counts_df(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -293,8 +293,17 @@ def parse_config(text: str) -> PipelineConfig:
         _check_template(tag, schema, "orchestration.tag")
 
     metric_keys = doc.get("metricKeys") or []
-    for k in metric_keys:
+    # reference: run/config.go:136-148 — metricKeys must be non-empty and
+    # disjoint from orchestration keys (overlap would double-list the
+    # same grouping column in the counter table)
+    _require(bool(metric_keys), "metricKeys", "metricKeys is empty")
+    for i, k in enumerate(metric_keys):
         _check_field(k, schema, "metricKeys")
+        _require(
+            k not in keys, f"metricKeys[{i}]",
+            f"field '{k}' cannot be listed in both .metricKeys and "
+            ".orchestration/keys",
+        )
 
     transformations = _steps_as_dicts(doc.get("transformations") or [])
     _check_steps(transformations, schema, "transformations")

@@ -84,8 +84,11 @@ def parse_logs(
         & (pri >= 0)
         & (pri < 24 * 8)
     )
-    for k in _TOKENS:
-        ok = ok & (F.length(tok[k]) > 0)
+    # NOTE: header tokens may be EMPTY — the reference's nextFieldBySpace
+    # only requires the trailing space, so consecutive spaces yield empty
+    # fields that still parse OK (reference: input/syslogparser/
+    # syslogparser.go:204-210); likewise the message body may be empty
+    # when the record ends right after extradata's separator.
     body = F.get(arr, 7)
     roles_arr = F.array(*[F.lit(s) for s in levels])
     fac_arr = F.array(*[F.lit(s) for s in FACILITY_NAMES])
@@ -132,13 +135,11 @@ def parse_oracle_select(
     t1 = f"({a})[1]"
     toks = {k: f"({a})[{i + 1}]" for k, i in _TOKENS.items()}
     pri = f"try_cast(substr({t1}, 2, length({t1}) - 3) AS INT)"
-    nonempty = " AND ".join(f"length({t}) > 0" for t in toks.values())
     ok = (
         f"(starts_with(text, '<') AND octet_length(encode(text)) >= 32"
         f" AND len({a}) >= 8"
         f" AND ends_with({t1}, '>1') AND length({t1}) >= 4"
-        f" AND coalesce({pri} >= 0 AND {pri} < 192, FALSE)"
-        f" AND {nonempty})"
+        f" AND coalesce({pri} >= 0 AND {pri} < 192, FALSE))"
     )
     hdr_len = (
         f"length({t1}) + "

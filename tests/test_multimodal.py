@@ -47,6 +47,21 @@ def test_frame_sampling(spark, sf_dir):
     assert agg.where("count < 1").count() == 0
 
 
+def test_frame_sampling_reads_real_binary(spark, sf_dir, duck):
+    """Byte values must be read from the BINARY payload — including
+    ≥0x80 / invalid-UTF-8 bytes (a CAST-to-string path mangles these;
+    round-2 latent bug). every_n_bytes=1 walks every byte, so the
+    trailer's non-ASCII bytes are always sampled."""
+    from slog_agent_spark.operators.multimodal import frames_oracle_sql
+
+    media = media_table(spark, sf_dir).where("doc_id < 40")
+    frames = sample_frames(media, every_n_bytes=1)
+    assert frames.where("byte_value > 127").count() > 0
+    assert frames.where("byte_value IS NULL OR byte_value < 0 OR byte_value > 255").count() == 0
+    oracle = frames_oracle_sql(DUCKDB, every_n_bytes=1) + " WHERE doc_id < 40"
+    assert_df_equals_oracle(frames, duck, oracle)
+
+
 def test_decode_stubs_raise(spark):
     with pytest.raises(NotImplementedError):
         decode_image(b"xx", {})

@@ -33,10 +33,34 @@ def test_singleton_single_sink_static_tag(spark, sf_dir):
     with tempfile.TemporaryDirectory() as root:
         sink = os.path.join(root, "sink")
         P.run_sinks(tf, sink, cfg)
-        # no per-tag partition dirs: one flat sink
+        # no per-tag partition dirs: one sink (+ the dropped quarantine tier)
         assert not glob.glob(os.path.join(sink, "tag=*"))
-        got = spark.read.parquet(sink)
-        assert got.count() == tf.where("NOT dropped").count()
+        assert not glob.glob(os.path.join(sink, "dropped=*", "tag=*"))
+        got = P.spark_read_sink(tf, sink)
+        assert got.where("NOT dropped").count() == tf.where("NOT dropped").count()
+        assert got.where("dropped").count() == tf.where("dropped").count()
+
+
+def test_custom_config_threads_into_fanout_metrics(spark, sf_dir):
+    """run_sinks(cfg=...) must compute metrics and partition keys from
+    THAT config, not DEFAULT_CONFIG (round-2 ADVICE: run_fanout computed
+    process_metrics with no cfg — custom keysets silently grouped by the
+    flagship keys)."""
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        orchestration_keys=["level"],
+        metric_keys=["app"],
+        orchestration_tag="development.$level",
+    )
+    tf = P.transform_transcripts(transcripts_df(spark, sf_dir), cfg)
+    with tempfile.TemporaryDirectory() as root:
+        sink = os.path.join(root, "sink")
+        metrics = P.run_sinks(tf, sink, cfg)
+        # grouping columns come from the custom config, in order
+        assert metrics.columns[:2] == ["level", "app"]
+        from slog_agent_spark.operators.metrics import process_metrics
+        src = {tuple(r) for r in process_metrics(tf, cfg).collect()}
+        assert {tuple(r) for r in metrics.collect()} == src
 
 
 def test_max_records_per_file_cap(spark, sf_dir):

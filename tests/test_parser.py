@@ -41,3 +41,38 @@ def test_multiline_unescaped_flag(spark, sf_dir):
     df = parse_transcripts(transcripts_df(spark, sf_dir))
     assert df.where(F.col("unescaped") & ~F.col("log").contains("\n")).count() == 0
     assert df.where(F.col("unescaped")).count() > 0
+
+
+def test_empty_tokens_and_empty_body_parse_ok(spark, duck):
+    """nextFieldBySpace alignment: each header field only needs its
+    trailing space — consecutive spaces yield EMPTY fields that still
+    parse, and a record ending right after extradata's separator has an
+    empty body (reference: input/syslogparser/syslogparser.go:152-171,
+    204-210). A record missing the 7th separator stays malformed.
+    """
+    from slog_agent_spark.sources.parser import parse_logs, parse_oracle_select
+
+    recs = [
+        # empty host token (double space): parses OK
+        ("<13>1 2024-01-01T00:00:00Z  app1 123 src.log - body text here", 0),
+        # empty body (trailing space after extradata): parses OK
+        ("<13>1 2024-01-01T00:00:00Z host app1 123 src.log - ", 1),
+        # no space after extradata: the 7th field never terminates → bad
+        ("<13>1 2024-01-01T00:00:00Z host app1 123 src.log -", 2),
+        ("<13>1 2024-01-01T00:00:00Z host app1 123 src.log - normal", 3),
+    ]
+    df = parse_logs(
+        spark.createDataFrame(recs, ["text", "rid"]), ["rid"]
+    ).withColumn("raw_length", F.col("raw_length").cast("long"))
+    got = {r["rid"]: r for r in df.collect()}
+    assert got[0]["parse_ok"] and got[0]["host"] == ""
+    assert got[1]["parse_ok"] and got[1]["log"] == ""
+    assert not got[2]["parse_ok"]
+    assert got[3]["parse_ok"]
+
+    values = ", ".join(f"({t!r}, {i})" for t, i in recs)
+    oracle = (
+        f"WITH transcripts AS (SELECT * FROM (VALUES {values}) t(text, rid)) "
+        + parse_oracle_select(passthrough=["rid"])
+    )
+    assert_df_equals_oracle(df, duck, oracle)

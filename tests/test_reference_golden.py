@@ -146,3 +146,130 @@ def test_counters_match_reference_prom(results):
                 }[k]
                 extra = ()
             assert prom_key(name, key, extra) in prom, (key, k, v)
+
+
+# ---------------------------------------------------------------------------
+# Agent harness: keys overridden to [host], tag $host
+# (ref: test/agent_test.go:26-27,75-80) — proving the byKeySet routed
+# path on reference data, not just the in-order pipeline harness.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def agent_results(spark):
+    import dataclasses
+
+    cfg = load_config(CFG)
+    # the keys override moves the ORIGINAL orchestration keys into
+    # metricKeys (minus overlap), then appends the original metricKeys
+    # (ref: test/agent.go:36-50) — yielding key_host (keyset) +
+    # key_app/key_level/key_pnum/key_vhost/key_source counter labels
+    keys = ["host"]
+    new_mk = [k for k in cfg.orchestration_keys if k not in keys] + [
+        k for k in cfg.metric_keys if k not in keys
+    ]
+    cfg = dataclasses.replace(cfg, metric_keys=new_mk)
+    records: list[str] = []
+    for title in CORPORA:  # concurrent feeders in the reference; per-host
+        with open(f"{REF}/{title}-input.log", encoding="utf-8") as fh:
+            records.extend(split_records(fh.read()))  # order is per-corpus
+    return run_corpus(spark, cfg, records, keys=keys, tag_template="$host")
+
+
+@pytest.mark.parametrize("title", CORPORA)
+@pytest.mark.parametrize("output", ["customFluentd", "datadogAPI"])
+def test_agent_routed_events_match_reference_golden(
+    agent_results, title, output
+):
+    """Per-sink (per-tag) serialized outputs: the keyset router must
+    deliver each host's records, in order, to the $host-tagged sink."""
+    golden = _golden(title, output)
+    ours = [
+        json.loads(r[output])
+        for r in agent_results["events"]
+        if r["_tag"] == title
+    ]
+    assert len(ours) == len(golden)
+    for i, (g, o) in enumerate(zip(golden, ours)):
+        if output == "customFluentd":
+            g_tag, g_time, g_rec = g
+            o_tag, o_time, o_rec = o
+            assert o_tag == g_tag == title, f"record {i}: tag"
+            assert abs(float(o_time) - float(g_time)) < 2e-6, f"record {i}: time"
+            g, o = g_rec, o_rec
+        assert o == g, (
+            f"record {i}: field diff "
+            f"{ {k: (g.get(k), o.get(k)) for k in set(g) | set(o) if g.get(k) != o.get(k)} }"
+        )
+
+
+def test_agent_counters_match_reference_prom(agent_results):
+    """all-agent.prom parity for the counter families this engine
+    models: input_* totals and the per-(host × metricKeys) process_*
+    set. Buffer/chunk series (hybridBuffer, chunks_total, ...) are the
+    reference's queue plumbing — N/A by design (SURVEY §2.9: Spark
+    shuffle/ack replaces the hybrid buffer)."""
+    with open(f"{REF}/all-agent.prom", encoding="utf-8") as fh:
+        prom = parse_prom(fh.read(), prefix="testagent_")
+
+    r = agent_results
+    assert r["input"]["passed_records"] == prom[
+        ("input_passed_records_total", (("protocol", "syslog"),))
+    ]
+    assert r["input"]["passed_bytes"] == prom[
+        ("input_passed_record_bytes_total", (("protocol", "syslog"),))
+    ]
+    assert r["input"]["malformed_records"] == 0
+
+    mk = r["metric_keys"]
+    assert mk[0] == "host"  # the overridden orchestration keyset leads
+
+    def prom_key(name: str, key: tuple, extra: tuple = ()) -> tuple:
+        labels = tuple(sorted(
+            [(f"key_{k}", v) for k, v in zip(mk, key)]
+            + [("orchestrator", "byKeySet")]
+            + list(extra)
+        ))
+        return (name, labels)
+
+    checked = 0
+    for (name, labels), value in prom.items():
+        base = {
+            "process_passed_records_total": "passed_records",
+            "process_passed_record_bytes_total": "passed_bytes",
+            "process_dropped_records_total": "dropped_records",
+            "process_dropped_record_bytes_total": "dropped_bytes",
+        }.get(name)
+        ld = dict(labels)
+        if base is not None:
+            key = tuple(ld[f"key_{k}"] for k in mk)
+            assert r["metrics"][key][base] == value, (name, labels)
+            checked += 1
+        elif name in ("process_labelled_records_total",
+                      "process_labelled_record_bytes_total"):
+            key = tuple(ld[f"key_{k}"] for k in mk)
+            which = ("labelled_records:" if name.endswith("records_total")
+                     else "labelled_bytes:") + ld["label"]
+            assert r["metrics"][key][which] == value, (name, labels)
+            checked += 1
+    assert checked >= 20
+
+    # reverse direction: every non-zero counter we produced has a series
+    for key, vals in r["metrics"].items():
+        for k, v in vals.items():
+            if not v:
+                continue
+            if k.startswith("labelled_records:"):
+                name = "process_labelled_records_total"
+                extra = (("label", k.split(":", 1)[1]),)
+            elif k.startswith("labelled_bytes:"):
+                name = "process_labelled_record_bytes_total"
+                extra = (("label", k.split(":", 1)[1]),)
+            else:
+                name = {
+                    "passed_records": "process_passed_records_total",
+                    "passed_bytes": "process_passed_record_bytes_total",
+                    "dropped_records": "process_dropped_records_total",
+                    "dropped_bytes": "process_dropped_record_bytes_total",
+                }[k]
+                extra = ()
+            assert prom_key(name, key, extra) in prom, (key, k, v)

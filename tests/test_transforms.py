@@ -165,6 +165,33 @@ def test_extract_named_groups(spark, duck):
     assert out[1]["verb"] == "v0" and out[1]["path"] == "p0"  # no-op on miss
 
 
+def test_extract_precheck_ignores_group_syntax(spark, duck):
+    # regression: the longest-required-literal precheck must not treat
+    # `?P<name>` group syntax, class bodies, or optional-group contents
+    # as required literals — doing so rejects every matching row and
+    # silently disables the step (round-2 ADVICE, transforms.py).
+    from slog_agent_spark.operators.transforms import _required_literal
+
+    assert _required_literal("user=(?P<username>[a-z]+)") == "user="
+    assert _required_literal("x(hello)?y") is None
+    assert _required_literal("(?:optional)*trail") == "trail"
+    assert _required_literal("x{10,20}") is None  # {m,n} body not literal
+
+    steps = [
+        {"type": "extract", "key": "log",
+         "pattern": r"user=(?P<username>[a-z]+)"}
+    ]
+    out = run_chain(
+        spark, duck, steps, ["log", "username"],
+        [
+            {"log": "login user=alice ok", "username": ""},
+            {"log": "no user here", "username": "keep", "turn_idx": 1},
+        ],
+    )
+    assert out[0]["username"] == "alice"
+    assert out[1]["username"] == "keep"
+
+
 def test_extract_head_cut(spark, duck):
     # reference: config_sample.yml:72-76 — log='[MyClass1 ] - Initialized'
     steps = [
@@ -265,11 +292,22 @@ def test_parse_time_and_error_label(spark, duck):
             {"time": "2022-08-15T03:48:20Z"},
             {"time": "garbage", "turn_idx": 1},
             {"time": "", "turn_idx": 2},
+            # shapes the engines' formatless parsers accept but the
+            # reference's strict RFC3339 parser rejects — the shape gate
+            # (dialect.RFC3339_SHAPE) must flag them as errors
+            {"time": "2022-08-15 03:48:20", "turn_idx": 3},
+            {"time": "2022-08-15", "turn_idx": 4},
+            # ±hhmm zone (no colon): accepted by the reference's Z0700
+            # layout (transform/tparsetime/rfc3339.go:48-53)
+            {"time": "2022-08-15T03:48:20.866915+0300", "turn_idx": 5},
         ],
     )
     assert out[0]["_lbl_timeError"] is False and out[0]["_ts"] is not None
     assert out[1]["_lbl_timeError"] is True
     assert out[2]["_lbl_timeError"] is False  # empty is not an error
+    assert out[3]["_lbl_timeError"] is True
+    assert out[4]["_lbl_timeError"] is True
+    assert out[5]["_lbl_timeError"] is False and out[5]["_ts"] is not None
 
 
 def test_redact_email(spark, duck):

@@ -131,6 +131,13 @@ def test_match_op_tags_become_tuples():
         ),
         # unknown output type
         (("type: datadog", "type: carrier-pigeon"), "unknown output type"),
+        # metricKeys must be non-empty (reference: run/config.go:136-139)
+        (("metricKeys: [host]", "metricKeys: []"), "metricKeys is empty"),
+        # metricKeys disjoint from orchestration keys (run/config.go:143-147)
+        (
+            ("metricKeys: [host]", "metricKeys: [host, app]"),
+            "cannot be listed in both",
+        ),
     ],
 )
 def test_verification_errors(mutate, expect):

@@ -179,6 +179,25 @@ def main() -> None:
     check("ivf-trained: k-means not re-executed (materialized centroids)",
           "ExistingRDD" in raw7, "")
 
+    # 7a. the k-means TRAINING plan itself: the per-bucket vector mean
+    # must be the zip_with tree aggregate, never a per-dimension explode
+    # (sample × dims rows through a (centroid, pos) shuffle — 10^8-10^9
+    # rows/iteration at the documented training budget)
+    from slog_agent_spark.functions.dialect import SPARK as SPARK_D
+    from slog_agent_spark.operators import similarity as S
+    from slog_agent_spark.plans.corpus import _register
+    _register(spark, sf, "embeddings")
+    tr = spark.sql(S.ivf_centroids_sql(SPARK_D))
+    raw7a = plan_of(tr)
+    check("kmeans-train: no per-dimension explode (Generate)",
+          "Generate" not in raw7a, "")
+    sections.append((
+        "k-means centroid training",
+        "bucket-wise vector mean via two-phase zip_with tree aggregate; "
+        "shuffles sample rows once per iteration, no explode",
+        formatted(tr),
+    ))
+
     # 8. trained embedding near-dup: assignment staged, so the pair plan
     # must contain NO window (the row_number assignment) and no k-means
     en = C.emb_neardup_trained_query(spark, sf)
