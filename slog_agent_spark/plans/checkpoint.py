@@ -136,14 +136,18 @@ def write_sinks_resumable(
             return {}
 
         salt = F.pmod(F.xxhash64("conv_id"), F.lit(max(salt_buckets, 1)))
-        (
+        # routed through the table-IO abstraction: Iceberg
+        # overwritePartitions (one atomic snapshot per run) when
+        # SLOG_ICEBERG_CATALOG is set, dynamic-overwrite parquet otherwise
+        from ..sinks.writers import write_table
+
+        write_table(
             passed.where(F.col("tag").isin(pending))
             .repartition(F.col("tag"), salt)
-            .sortWithinPartitions("tag", "conv_id", "turn_idx")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("tag")
-            .parquet(ckpt.root)
+            .sortWithinPartitions("tag", "conv_id", "turn_idx"),
+            ckpt.root,
+            partition_by=["tag"],
+            mode="overwrite_partitions",
         )
 
         written: dict[str, int] = {}

@@ -1,0 +1,391 @@
+"""Fluentd forward-protocol WIRE bytes: msgpack events, EventTime ext
+type, gzip chunk framing with size caps and monotonic chunk IDs.
+
+Produces actual CompressedPackedForward chunks a fluentd upstream can
+ingest, mirroring the reference's binary path:
+
+- event entry  = msgpack ``[EventTime, {field: value, ...,
+  environment: {...}}]`` (ref: output/fluentdforward/eventserializer.go:
+  38-39, 91-205)
+- EventTime    = msgpack fixext8, type 0, 4-byte seconds + 4-byte nanos
+  (fluentd's extension; ref: output/fluentdforward/eventtime.go:12-17)
+- chunk        = msgpack ``[tag, bin(gzip(event stream)), {"size": N,
+  "chunk": id, "compressed": "gzip"}]`` (ref: output/fluentdforward/
+  chunkencoder.go:38-77)
+- caps         = flush at 7 MiB of UNCOMPRESSED event bytes or at a
+  record limit (ref: output/fluentdforward/chunk.go:96-107,
+  config.go:30)
+- chunk ID     = ``%019d-%08d`` nanosecond timestamp + per-timestamp
+  sequence — strictly monotonic (ref: output/shared/chunkidgen.go:27-39)
+
+The events come in as the JSON strings the oracle-gated serializer
+already emits (sinks/serializers.fluentd_event — field order, hidden/
+environment handling and EventTime value are pinned against the
+reference goldens there); this module re-encodes them as msgpack, so
+wire bytes inherit that parity. A minimal msgpack codec is inlined
+because the sandbox ships no msgpack wheel; the decoder exists so tests
+can round-trip chunks back to the golden event list.
+
+Scale shape: chunking is per-sink-partition (per tag), embarrassingly
+parallel — the Spark writer groups by tag and streams each group
+through one chunker (applyInPandas), writing ``<out>/<tag>/<id>.chunk``
+files. No driver-side loops.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import struct
+import time
+from collections.abc import Iterable, Iterator
+
+MAX_CHUNK_BYTES = 7 * 1024 * 1024  # uncompressed event-stream bytes
+
+
+# ---------------------------------------------------------------------------
+# minimal msgpack codec (subset: str, bin, int, float, bool, nil, array,
+# map, fixext8) — enough for the forward protocol in both directions
+# ---------------------------------------------------------------------------
+
+def _pack_str(s: str) -> bytes:
+    b = s.encode("utf-8")
+    n = len(b)
+    if n < 32:
+        return bytes([0xA0 | n]) + b
+    if n < 256:
+        return b"\xd9" + bytes([n]) + b
+    if n < 65536:
+        return b"\xda" + struct.pack(">H", n) + b
+    return b"\xdb" + struct.pack(">I", n) + b
+
+
+def _pack_bin(b: bytes) -> bytes:
+    n = len(b)
+    if n < 256:
+        return b"\xc4" + bytes([n]) + b
+    if n < 65536:
+        return b"\xc5" + struct.pack(">H", n) + b
+    return b"\xc6" + struct.pack(">I", n) + b
+
+
+def _pack_int(v: int) -> bytes:
+    if 0 <= v < 128:
+        return bytes([v])
+    if -32 <= v < 0:
+        return struct.pack("b", v)
+    if 0 <= v < 256:
+        return b"\xcc" + bytes([v])
+    if 0 <= v < 65536:
+        return b"\xcd" + struct.pack(">H", v)
+    if 0 <= v < 2**32:
+        return b"\xce" + struct.pack(">I", v)
+    if v >= 0:
+        return b"\xcf" + struct.pack(">Q", v)
+    if v >= -(2**31):
+        return b"\xd2" + struct.pack(">i", v)
+    return b"\xd3" + struct.pack(">q", v)
+
+
+def _pack_array_header(n: int) -> bytes:
+    if n < 16:
+        return bytes([0x90 | n])
+    if n < 65536:
+        return b"\xdc" + struct.pack(">H", n)
+    return b"\xdd" + struct.pack(">I", n)
+
+
+def _pack_map_header(n: int) -> bytes:
+    if n < 16:
+        return bytes([0x80 | n])
+    if n < 65536:
+        return b"\xde" + struct.pack(">H", n)
+    return b"\xdf" + struct.pack(">I", n)
+
+
+def pack(obj) -> bytes:
+    if obj is None:
+        return b"\xc0"
+    if obj is True:
+        return b"\xc3"
+    if obj is False:
+        return b"\xc2"
+    if isinstance(obj, EventTime):
+        # fixext8, ext type 0: 4-byte seconds then 4-byte nanoseconds
+        return b"\xd7\x00" + struct.pack(">II", obj.seconds, obj.nanos)
+    if isinstance(obj, int):
+        return _pack_int(obj)
+    if isinstance(obj, float):
+        return b"\xcb" + struct.pack(">d", obj)
+    if isinstance(obj, str):
+        return _pack_str(obj)
+    if isinstance(obj, (bytes, bytearray)):
+        return _pack_bin(bytes(obj))
+    if isinstance(obj, (list, tuple)):
+        return _pack_array_header(len(obj)) + b"".join(pack(x) for x in obj)
+    if isinstance(obj, dict):
+        return _pack_map_header(len(obj)) + b"".join(
+            pack(k) + pack(v) for k, v in obj.items()
+        )
+    raise TypeError(f"cannot msgpack {type(obj)}")
+
+
+class EventTime:
+    """Fluentd's EventTime extension value (seconds + nanoseconds)."""
+
+    __slots__ = ("seconds", "nanos")
+
+    def __init__(self, seconds: int, nanos: int):
+        self.seconds = seconds
+        self.nanos = nanos
+
+    @classmethod
+    def from_epoch_str(cls, value) -> "EventTime":
+        """From the serializer's ``<sec>.<micros>`` decimal string (or
+        float) — micros become nanos exactly, no float64 detour."""
+        s = str(value)
+        if "." in s:
+            sec, frac = s.split(".", 1)
+            frac = (frac + "000000000")[:9]
+            return cls(int(sec), int(frac))
+        return cls(int(s), 0)
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, EventTime)
+            and (self.seconds, self.nanos) == (other.seconds, other.nanos)
+        )
+
+    def __repr__(self):
+        return f"EventTime({self.seconds}, {self.nanos})"
+
+
+def unpack(data: bytes, pos: int = 0):
+    """Decode one msgpack object; returns (obj, next_pos)."""
+    b = data[pos]
+    pos += 1
+    if b <= 0x7F:
+        return b, pos
+    if b >= 0xE0:
+        return b - 256, pos
+    if 0xA0 <= b <= 0xBF:
+        n = b & 0x1F
+        return data[pos:pos + n].decode("utf-8"), pos + n
+    if 0x90 <= b <= 0x9F:
+        return _unpack_array(data, pos, b & 0x0F)
+    if 0x80 <= b <= 0x8F:
+        return _unpack_map(data, pos, b & 0x0F)
+    if b == 0xC0:
+        return None, pos
+    if b == 0xC2:
+        return False, pos
+    if b == 0xC3:
+        return True, pos
+    if b in (0xC4, 0xC5, 0xC6):
+        size = {0xC4: 1, 0xC5: 2, 0xC6: 4}[b]
+        n = int.from_bytes(data[pos:pos + size], "big")
+        pos += size
+        return bytes(data[pos:pos + n]), pos + n
+    if b in (0xD9, 0xDA, 0xDB):
+        size = {0xD9: 1, 0xDA: 2, 0xDB: 4}[b]
+        n = int.from_bytes(data[pos:pos + size], "big")
+        pos += size
+        return data[pos:pos + n].decode("utf-8"), pos + n
+    if b == 0xCB:
+        return struct.unpack_from(">d", data, pos)[0], pos + 8
+    if b in (0xCC, 0xCD, 0xCE, 0xCF):
+        size = {0xCC: 1, 0xCD: 2, 0xCE: 4, 0xCF: 8}[b]
+        return int.from_bytes(data[pos:pos + size], "big"), pos + size
+    if b in (0xD0, 0xD1, 0xD2, 0xD3):
+        size = {0xD0: 1, 0xD1: 2, 0xD2: 4, 0xD3: 8}[b]
+        return (
+            int.from_bytes(data[pos:pos + size], "big", signed=True),
+            pos + size,
+        )
+    if b == 0xDC:
+        n = struct.unpack_from(">H", data, pos)[0]
+        return _unpack_array(data, pos + 2, n)
+    if b == 0xDD:
+        n = struct.unpack_from(">I", data, pos)[0]
+        return _unpack_array(data, pos + 4, n)
+    if b == 0xDE:
+        n = struct.unpack_from(">H", data, pos)[0]
+        return _unpack_map(data, pos + 2, n)
+    if b == 0xD7:  # fixext8
+        ext_type = data[pos]
+        pos += 1
+        if ext_type == 0:
+            sec, nanos = struct.unpack_from(">II", data, pos)
+            return EventTime(sec, nanos), pos + 8
+        return bytes(data[pos:pos + 8]), pos + 8
+    raise ValueError(f"unsupported msgpack byte 0x{b:02x}")
+
+
+def _unpack_array(data, pos, n):
+    out = []
+    for _ in range(n):
+        v, pos = unpack(data, pos)
+        out.append(v)
+    return out, pos
+
+
+def _unpack_map(data, pos, n):
+    out = {}
+    for _ in range(n):
+        k, pos = unpack(data, pos)
+        v, pos = unpack(data, pos)
+        out[k] = v
+    return out, pos
+
+
+# ---------------------------------------------------------------------------
+# chunk ID generator (ref: output/shared/chunkidgen.go:27-39)
+# ---------------------------------------------------------------------------
+
+class ChunkIDGenerator:
+    """``%019d-%08d<suffix>``: nanosecond timestamp + per-timestamp
+    sequence. Strictly monotonic per instance (one instance per sink
+    partition task). ``clock`` is injectable for deterministic tests."""
+
+    def __init__(self, suffix: str = "", clock=time.time_ns):
+        self.suffix = suffix
+        self.clock = clock
+        self.epoch_nano = 0
+        self.sequence = 0
+
+    def generate(self) -> str:
+        nxt = self.clock()
+        if nxt > self.epoch_nano:
+            self.epoch_nano = nxt
+            self.sequence = 0
+        else:
+            self.sequence += 1
+        return f"{self.epoch_nano:019d}-{self.sequence:08d}{self.suffix}"
+
+
+# ---------------------------------------------------------------------------
+# event encoding + chunking
+# ---------------------------------------------------------------------------
+
+def encode_event_from_json(event_json: str) -> bytes:
+    """JSON ``[tag, time, record]`` (the serializer's oracle-gated
+    output) → msgpack ``[EventTime, record]`` entry bytes. The tag is
+    NOT in the entry — it is the chunk's root[0]."""
+    # parse_float=str keeps the full micros fraction out of float64
+    _tag, ev_time, record = json.loads(event_json, parse_float=str)
+    return pack([EventTime.from_epoch_str(ev_time), record])
+
+
+def chunk_events(
+    tag: str,
+    event_jsons: Iterable[str],
+    max_bytes: int = MAX_CHUNK_BYTES,
+    max_records: int = 0,
+    idgen: ChunkIDGenerator | None = None,
+) -> Iterator[tuple[str, bytes, int, int]]:
+    """Stream events into CompressedPackedForward chunks.
+
+    Yields ``(chunk_id, chunk_bytes, n_records, n_raw_bytes)`` —
+    ``n_raw_bytes`` is the uncompressed event-stream size the caps are
+    measured against (ref: chunk.go:96-107 counts pre-compression
+    bytes)."""
+    idgen = idgen or ChunkIDGenerator()
+    buf: list[bytes] = []
+    n_rec = n_raw = 0
+
+    def flush():
+        nonlocal buf, n_rec, n_raw
+        if not n_rec:
+            return None
+        stream = gzip.compress(b"".join(buf), mtime=0)
+        cid = idgen.generate()
+        chunk = (
+            _pack_array_header(3)
+            + _pack_str(tag)
+            + _pack_bin(stream)
+            + pack({"size": n_rec, "chunk": cid, "compressed": "gzip"})
+        )
+        out = (cid, chunk, n_rec, n_raw)
+        buf, n_rec, n_raw = [], 0, 0
+        return out
+
+    for ev in event_jsons:
+        entry = encode_event_from_json(ev)
+        over_records = max_records > 0 and n_rec >= max_records
+        over_bytes = max_bytes > 0 and n_raw + len(entry) > max_bytes and n_rec
+        if over_records or over_bytes:
+            done = flush()
+            if done:
+                yield done
+        buf.append(entry)
+        n_rec += 1
+        n_raw += len(entry)
+    done = flush()
+    if done:
+        yield done
+
+
+def decode_chunk(data: bytes) -> tuple[str, list, dict]:
+    """Chunk bytes → (tag, [[EventTime, record], ...], option map)."""
+    root, _ = unpack(data)
+    tag, stream, option = root
+    if option.get("compressed") == "gzip":
+        stream = gzip.decompress(stream)
+    events = []
+    pos = 0
+    while pos < len(stream):
+        ev, pos = unpack(stream, pos)
+        events.append(ev)
+    assert len(events) == option["size"], "size option mismatch"
+    return tag, events, option
+
+
+# ---------------------------------------------------------------------------
+# Spark writer: per-tag chunk files
+# ---------------------------------------------------------------------------
+
+def write_wire_chunks(
+    events_df,
+    out_dir: str,
+    event_col: str = "fluentd_event",
+    max_bytes: int = MAX_CHUNK_BYTES,
+    max_records: int = 0,
+) -> None:
+    """Write fluentd wire chunks per tag: ``<out>/<tag>/<id>.chunk``.
+
+    One chunker per tag group (applyInPandas), events in (conv_id,
+    turn_idx) FIFO order within the tag — the per-sink ordering the
+    byKeySet orchestrator guarantees. At cluster scale ``out_dir`` is
+    shared storage and each task writes only its own tag's files.
+    """
+    import os
+
+    import pandas as pd
+
+    def run_tag(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["conv_id", "turn_idx"])
+        tag = pdf["tag"].iloc[0]
+        tag_dir = os.path.join(out_dir, tag.replace("/", "_"))
+        os.makedirs(tag_dir, exist_ok=True)
+        rows = []
+        for cid, chunk, n_rec, n_raw in chunk_events(
+            tag, pdf[event_col], max_bytes=max_bytes, max_records=max_records
+        ):
+            with open(os.path.join(tag_dir, f"{cid}.chunk"), "wb") as fh:
+                fh.write(chunk)
+            rows.append((tag, cid, n_rec, n_raw, len(chunk)))
+        return pd.DataFrame(
+            rows,
+            columns=["tag", "chunk_id", "records", "raw_bytes", "chunk_bytes"],
+        )
+
+    (
+        events_df.select("tag", "conv_id", "turn_idx", event_col)
+        .groupBy("tag")
+        .applyInPandas(
+            run_tag,
+            "tag string, chunk_id string, records long, raw_bytes long, "
+            "chunk_bytes long",
+        )
+        .count()  # force execution
+    )

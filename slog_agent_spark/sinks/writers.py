@@ -28,7 +28,21 @@ def write_table(
     mode: str = "overwrite",
 ) -> None:
     """Write a table; ``location`` is a path (parquet) or catalog table
-    name (iceberg) depending on availability."""
+    name (iceberg) depending on availability.
+
+    Modes: ``overwrite`` (replace the table), ``append``, and
+    ``overwrite_partitions`` — replace only the partitions present in
+    ``df`` (Iceberg ``overwritePartitions()``; parquet dynamic
+    ``partitionOverwriteMode``). The last one is the resumable-sink
+    commit primitive (plans/checkpoint.py): committed partitions'
+    files are never touched, and on Iceberg each call is one atomic
+    snapshot commit — the chunk-ACK semantics of SURVEY.md §2.9.
+
+    The Iceberg route needs the iceberg-spark-runtime jar and a
+    configured catalog on the cluster (spark.sql.catalog.<name>...);
+    this sandbox ships neither, so tests stub the DataFrameWriterV2
+    (tests/test_writers.py) and everything else uses the parquet path.
+    """
     cat = iceberg_catalog()
     if cat:
         writer = df.writeTo(f"{cat}.{location}")
@@ -38,10 +52,17 @@ def write_table(
             writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
         if mode == "overwrite":
             writer.createOrReplace()
+        elif mode == "overwrite_partitions":
+            writer.overwritePartitions()
         else:
             writer.append()
         return
-    w = df.write.mode(mode)
+    if mode == "overwrite_partitions":
+        w = df.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        )
+    else:
+        w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(location)

@@ -137,6 +137,44 @@ def conversation_progress_stream(transcripts_stream: DataFrame) -> DataFrame:
     )
 
 
+def session_rollup_stream(
+    transcripts_stream: DataFrame,
+    gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of the batch gap sessionizer
+    (plans/pipeline.conversation_sessions_df): ``session_window`` merges
+    turns whose inter-arrival gap is under ``gap``, keyed by
+    conversation, with a watermark for late turns — Spark's native
+    stateful sessionization, no custom state handler needed.
+
+    Emits one row per closed (conv_id, session): turn count, first/last
+    turn index, duration. Semantics note vs the batch CTE chain: the
+    batch sessionizer starts a new session when gap > threshold
+    (boundary-exact gaps merge); ``session_window`` merges on overlap
+    of [ts, ts+gap) windows, so a gap of EXACTLY the threshold splits.
+    Identical on all non-boundary data (tests/test_streaming.py asserts
+    rollup equality on the fixture).
+    """
+    return (
+        transcripts_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.min("turn_idx").alias("first_turn"),
+            F.max("turn_idx").alias("last_turn"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            .alias("duration_us"),
+        )
+        .select(
+            "conv_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_turns", "first_turn", "last_turn", "duration_us",
+        )
+    )
+
+
 def windowed_role_counts(
     transcripts_stream: DataFrame,
     window: str = "1 hour",

@@ -1,0 +1,123 @@
+"""Fluentd wire bytes: msgpack EventTime, gzip chunk framing, caps,
+monotonic chunk IDs — round-tripped back to the golden event list.
+
+ref: output/fluentdforward/eventtime.go:12-17, chunkencoder.go:38-77,
+chunk.go:96-107, output/shared/chunkidgen.go:27-39.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+import struct
+import tempfile
+
+import pytest
+
+from slog_agent_spark.sinks.fluentd_wire import (
+    ChunkIDGenerator,
+    EventTime,
+    chunk_events,
+    decode_chunk,
+    encode_event_from_json,
+    pack,
+    unpack,
+)
+
+REF = "/root/reference/testdata/development"
+
+
+def test_eventtime_wire_layout():
+    """fixext8, type 0, big-endian seconds + nanoseconds — byte-for-byte
+    the reference's EncodeEventTime layout."""
+    b = pack(EventTime(1660524500, 153999800))
+    assert b[:2] == b"\xd7\x00"
+    assert struct.unpack(">II", b[2:]) == (1660524500, 153999800)
+    v, pos = unpack(b)
+    assert v == EventTime(1660524500, 153999800) and pos == len(b)
+
+
+def test_event_entry_from_serializer_json():
+    ev = json.dumps(
+        ["development.app", 1660524500.154, {"log": "hi", "environment": {"host": "h"}}]
+    )
+    entry = encode_event_from_json(ev)
+    decoded, _ = unpack(entry)
+    t, record = decoded
+    assert t == EventTime(1660524500, 154000000)  # micros → nanos, exact
+    assert record == {"log": "hi", "environment": {"host": "h"}}
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference corpus absent")
+@pytest.mark.parametrize("title", ["basic-2", "errors"])
+def test_chunk_roundtrip_against_reference_golden(title):
+    """Reference-authored golden events → wire chunks → decoded back,
+    equal in tag, time (exact nanos) and record."""
+    with open(f"{REF}/{title}-output-customFluentd.json", encoding="utf-8") as fh:
+        golden = json.load(fh, parse_float=str)
+    tag = golden[0][0]
+    jsons = [json.dumps(g) for g in golden]
+    chunks = list(
+        chunk_events(tag, jsons, max_bytes=4096, idgen=ChunkIDGenerator())
+    )
+    assert len(chunks) >= 1
+    decoded = []
+    for _cid, data, n_rec, n_raw in chunks:
+        got_tag, events, option = decode_chunk(data)
+        assert got_tag == tag
+        assert option["compressed"] == "gzip" and option["size"] == n_rec
+        assert n_raw <= 4096 or n_rec == 1  # cap respected (or 1 big event)
+        decoded.extend(events)
+    assert len(decoded) == len(golden)
+    for g, (t, record) in zip(golden, decoded):
+        assert t == EventTime.from_epoch_str(g[1])
+        assert record == g[2]
+
+
+def test_caps_and_monotonic_ids():
+    ticks = iter(range(100, 200))
+    gen = ChunkIDGenerator(suffix="#s", clock=lambda: next(ticks) // 3)
+    evs = [json.dumps(["t", 1.0, {"log": f"m{i}"}]) for i in range(7)]
+    chunks = list(chunk_events("t", evs, max_records=2, idgen=gen))
+    assert [c[2] for c in chunks] == [2, 2, 2, 1]
+    ids = [c[0] for c in chunks]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
+    assert all(i.endswith("#s") for i in ids)
+    # same-timestamp collisions advance the sequence part
+    assert any(i.split("-")[1] != "00000000#s" for i in ids)
+
+
+def test_gzip_framing_is_real():
+    ev = json.dumps(["t", 1.5, {"log": "x" * 1000}])
+    (_cid, data, _n, raw), = chunk_events("t", [ev])
+    root, _ = unpack(data)
+    assert isinstance(root[1], bytes) and root[1][:2] == b"\x1f\x8b"
+    assert len(root[1]) < raw  # actually compressed
+    assert gzip.decompress(root[1])
+
+
+def test_spark_writer_per_tag_chunks(spark, sf_dir):
+    from slog_agent_spark.plans.pipeline import serialized_events_df
+    from slog_agent_spark.sinks.fluentd_wire import write_wire_chunks
+
+    ev = serialized_events_df(spark, sf_dir)
+    n_expected = ev.count()
+    tags = {r["tag"] for r in ev.select("tag").distinct().collect()}
+    with tempfile.TemporaryDirectory() as out:
+        write_wire_chunks(ev, out, max_records=50)
+        files = glob.glob(os.path.join(out, "*", "*.chunk"))
+        assert files
+        total = 0
+        seen_tags = set()
+        for f in files:
+            with open(f, "rb") as fh:
+                tag, events, option = decode_chunk(fh.read())
+            seen_tags.add(tag)
+            assert option["size"] <= 50
+            total += len(events)
+            for _t, record in events:
+                assert "log" in record and "environment" in record
+        assert total == n_expected
+        assert seen_tags == tags

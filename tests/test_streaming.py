@@ -107,3 +107,38 @@ def test_windowed_counts_with_watermark(spark, sf_dir):
         total = spark.read.parquet(tdir).count()
         assert got is None or got <= total
         assert len(spark.table("role_counts").columns) == 4
+
+
+def test_streaming_sessionization_equals_batch(spark, sf_dir):
+    """session_window rollup, fully drained, must equal the batch
+    gap-sessionizer's per-session aggregates (the batch session_idx is a
+    running index; sessions are matched by (conv_id, first_turn))."""
+    from slog_agent_spark.plans.pipeline import conversation_sessions_df
+    from slog_agent_spark.streaming.stream import session_rollup_stream
+
+    with tempfile.TemporaryDirectory() as work:
+        tdir = f"{work}/transcripts"
+        transcripts_df(spark, sf_dir).write.parquet(tdir)
+        agg = session_rollup_stream(stream_transcripts(spark, tdir))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("sessions_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["conv_id"], r["first_turn"]):
+                (r["n_turns"], r["last_turn"], r["duration_us"])
+            for r in spark.table("sessions_stream").collect()
+        }
+        want = {
+            (r["conv_id"], r["first_turn"]):
+                (r["n_turns"], r["last_turn"], r["duration_us"])
+            for r in conversation_sessions_df(spark, sf_dir).collect()
+        }
+        assert got == want
+        assert len(got) > len(
+            {k[0] for k in got}
+        )  # the gap really splits some conversation into >1 session
