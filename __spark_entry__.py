@@ -97,10 +97,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": C.ann_bruteforce_query,
         "ann_topk_ivf": C.ann_ivf_query,
         "ann_topk_ivf_trained": C.ann_ivf_trained_query,
+        "ann_topk_batch": C.ann_topk_batch_query,
         "embedding_neardup_ivf": C.emb_neardup_query,
         "embedding_neardup_exact": C.emb_neardup_exact_query,
         "embedding_neardup_trained": C.emb_neardup_trained_query,
         "corpus_stats": C.corpus_stats_query,
+        "doc_length_histogram": C.doc_length_histogram_query,
+        "corpus_contamination": C.contamination_query,
         "corpus_retention": C.corpus_retention_query,
         "multimodal_feature_extract": lambda spark, sf: _mm_features(spark, sf),
         "multimodal_frame_sample": lambda spark, sf: _mm_frames(spark, sf),
@@ -154,10 +157,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_bruteforce": C.ann_bruteforce_oracle(),
         "ann_topk_ivf": C.ann_ivf_oracle(),
         "ann_topk_ivf_trained": C.ann_ivf_trained_oracle(),
+        "ann_topk_batch": C.ann_topk_batch_oracle(),
         "embedding_neardup_ivf": C.emb_neardup_oracle(),
         "embedding_neardup_exact": C.emb_neardup_exact_oracle(),
         "embedding_neardup_trained": C.emb_neardup_trained_oracle(),
         "corpus_stats": C.corpus_stats_oracle(),
+        "doc_length_histogram": C.doc_length_histogram_oracle(),
+        "corpus_contamination": C.contamination_oracle(),
         "corpus_retention": C.corpus_retention_oracle(),
         "multimodal_feature_extract": _mm_oracle(),
         "multimodal_frame_sample": _mm_frames_oracle(),

@@ -35,6 +35,8 @@ DOC_OPS = (
     "doc_language_id",
     "doc_fingerprint",
     "corpus_stats",
+    "doc_length_histogram",
+    "corpus_contamination",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -43,6 +45,7 @@ DOC_OPS = (
 )
 EMB_OPS = (
     "ann_topk_ivf_trained",
+    "ann_topk_batch",
     "embedding_neardup_trained",
 )
 # O(n²) verification tier — opt-in only, run it on a sample
@@ -58,12 +61,15 @@ def registry(params=None):
         "doc_language_id": C.langid_query,
         "doc_fingerprint": C.fingerprint_query,
         "corpus_stats": C.corpus_stats_query,
+        "doc_length_histogram": C.doc_length_histogram_query,
+        "corpus_contamination": C.contamination_query,
         "dedup_exact": C.exact_dedup_query,
         "dedup_minhash_lsh": C.minhash_lsh_query,
         "dedup_ngram_jaccard": C.ngram_jaccard_query,
         "dedup_simhash_neardup": C.simhash_neardup_query,
         "corpus_retention": C.corpus_retention_query,
         "ann_topk_ivf_trained": C.ann_ivf_trained_query,
+        "ann_topk_batch": C.ann_topk_batch_query,
         "embedding_neardup_trained": C.emb_neardup_trained_query,
         "embedding_neardup_exact": C.emb_neardup_exact_query,
     }

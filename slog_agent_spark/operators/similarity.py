@@ -490,3 +490,80 @@ def neardup_pairs_from_assigned_sql(
     JOIN {norms_rel} eb ON eb.vec_id = c.vec_b
     WHERE {cos} >= {threshold}
     """
+
+
+def ann_topk_batch_sql(
+    d: SqlDialect,
+    n_queries: int = 5,
+    k: int | None = None,
+    emb_rel: str = "embeddings",
+    probes: int | None = None,
+    cents_rel: str | None = None,
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
+) -> str:
+    """BATCH ANN: top-k neighbours for EVERY query in a query set, one
+    job — the retrieval shape a training pipeline actually runs (dedup
+    a batch, kNN-label a batch), not one query at a time.
+
+    Scale shape: the query relation and centroid relation are both tiny
+    (broadcast); every query probes its best ``probes`` k-means lists;
+    candidates come from ONE bucket join (assignment × probe set);
+    ranking is one window partitioned BY QUERY. Corpus rows outside
+    every probed list are never scored. With Q queries the cost is
+    Q × probed-fraction of the corpus — never Q × |corpus|.
+
+    The query set is the first ``n_queries`` vectors (deterministic,
+    shared with the oracle); self-matches are excluded per query.
+    """
+    k = params.topk if k is None else k
+    probes = params.trained_probes if probes is None else probes
+    if cents_rel is None:
+        kmeans, cents = kmeans_centroids_ctes(
+            d, emb_rel, n_centroids=params.trained_centroids,
+            sample_mod=params.kmeans_sample_mod, iters=params.kmeans_iters,
+        )
+        prelude = f"WITH {kmeans},"
+    else:
+        cents = cents_rel
+        prelude = "WITH"
+    cos_assign = cosine_expr(d, "e.embedding", "c.emb")
+    cos_probe = cosine_expr(d, "c.emb", "q.embedding")
+    cos_q = cosine_prenorm_expr(
+        d, "n.embedding", "q.embedding", "n.nrm", "q.qn"
+    )
+    return f"""
+    {prelude}
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_assign} DESC, c.centroid_id) AS rn
+        FROM {emb_rel} e CROSS JOIN {cents} c
+      ) x WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, embedding, {norm_expr(d, "embedding")} AS qn
+          FROM {emb_rel} WHERE vec_id < {n_queries}),
+    probe_set AS (
+      SELECT q_id, centroid_id FROM (
+        SELECT q.q_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {cos_probe} DESC, c.centroid_id) AS rn
+        FROM {cents} c CROSS JOIN q
+      ) rp WHERE rn <= {probes}
+    ),
+    cand AS (
+      SELECT p.q_id, a.vec_id
+      FROM probe_set p JOIN assigned a ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id != p.q_id
+    ),
+    norms AS (SELECT vec_id, label, embedding,
+              {norm_expr(d, "embedding")} AS nrm FROM {emb_rel})
+    SELECT q_id, vec_id, label, cosine FROM (
+      SELECT c.q_id, c.vec_id, n.label, {cos_q} AS cosine,
+             row_number() OVER (PARTITION BY c.q_id
+                                ORDER BY {cos_q} DESC, c.vec_id) AS rnk
+      FROM cand c
+      JOIN norms n ON n.vec_id = c.vec_id
+      JOIN q ON q.q_id = c.q_id
+    ) ranked WHERE rnk <= {k}
+    """

@@ -182,3 +182,106 @@ def corpus_stats_sql(d: SqlDialect, rel: str = "documents") -> str:
     FROM per_doc
     GROUP BY lang_pred
     """
+
+
+# -- token-length histogram ---------------------------------------------------
+LENGTH_BUCKETS = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
+
+
+def doc_length_histogram_sql(d: SqlDialect, rel: str = "documents") -> str:
+    """Token-length distribution of the corpus — the sizing report a
+    training-mix cut starts from (sequence-length budgeting, packing
+    efficiency).
+
+    Buckets are FIXED integer boundaries compared with a CASE ladder —
+    not floor(log2(...)): float log at exact power-of-two boundaries can
+    round differently across engines, and integer comparisons cannot.
+
+    Scale shape: per-row projection + one groupBy over ≤11 buckets
+    (map-side partial agg; the shuffle is O(buckets × tasks)).
+    """
+    toks = token_count_items(d)["n_tokens"]
+    edges = LENGTH_BUCKETS
+    ladder = "CASE " + " ".join(
+        f"WHEN n_tokens < {e} THEN {i}" for i, e in enumerate(edges)
+    ) + f" ELSE {len(edges)} END"
+    labels = (
+        ["'< " + str(edges[0]) + "'"]
+        + [f"'{a}-{b - 1}'" for a, b in zip(edges, edges[1:])]
+        + [f"'>= {edges[-1]}'"]
+    )
+    label_arr = ", ".join(labels)
+    idx = "bucket + 1"
+    label = (
+        f"element_at(array({label_arr}), CAST({idx} AS INT))"
+        if d.name == d.SPARK
+        else f"[{label_arr}][CAST({idx} AS INT)]"
+    )
+    return f"""
+    WITH per_doc AS (SELECT {toks} AS n_tokens FROM {rel}),
+    b AS (SELECT n_tokens, {ladder} AS bucket FROM per_doc)
+    SELECT CAST(bucket AS INT) AS bucket,
+           {label} AS bucket_label,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM b
+    GROUP BY bucket
+    """
+
+
+# -- benchmark-contamination check -------------------------------------------
+CONTAMINATION_MIN_SHARED = 5
+
+
+def contamination_sql(
+    d: SqlDialect,
+    rel: str = "documents",
+    eval_max_id: int = 10,
+    min_shared: int = CONTAMINATION_MIN_SHARED,
+    sets_rel: str | None = None,
+) -> str:
+    """Benchmark-contamination scan: which corpus documents share
+    ``min_shared``+ 3-token shingles with a held-out eval set — the
+    decontamination pass every pretraining pipeline runs against its
+    benchmark suites before training.
+
+    The eval set here is the first ``eval_max_id`` documents
+    (deterministic, oracle-shared); in production it is the benchmark
+    corpus loaded as its own table.
+
+    Scale shape: eval-side postings are TINY (|eval| docs) → broadcast
+    to the corpus postings join on the shingle key; shared-shingle
+    counts aggregate per (doc, eval_doc) pair; never corpus × corpus.
+    ``sets_rel`` names a pre-materialized (doc_id, shingle_set, n_sh)
+    relation (the n-gram dedup's staged sets — reused, not recomputed).
+    """
+    from .dedup import ngram_sets_sql
+
+    if sets_rel is None:
+        sets = f"sets AS ({ngram_sets_sql(d, rel)}),"
+        sets_rel = "sets"
+    else:
+        sets = ""
+    unnest = (
+        "explode(shingle_set)" if d.name == d.SPARK else "unnest(shingle_set)"
+    )
+    return f"""
+    WITH {sets}
+    post AS (SELECT doc_id, {unnest} AS shingle FROM {sets_rel}),
+    eval_post AS (SELECT doc_id AS eval_doc, shingle FROM post
+                  WHERE doc_id < {eval_max_id}),
+    hits AS (
+      SELECT p.doc_id, e.eval_doc, count(*) AS shared_shingles
+      FROM post p JOIN eval_post e ON p.shingle = e.shingle
+      WHERE p.doc_id >= {eval_max_id}
+      GROUP BY p.doc_id, e.eval_doc
+    )
+    SELECT h.doc_id, h.eval_doc,
+           CAST(h.shared_shingles AS BIGINT) AS shared_shingles,
+           round(CAST(h.shared_shingles AS DOUBLE) / s.n_sh, 6)
+             AS contamination_ratio
+    FROM hits h JOIN {sets_rel} s ON s.doc_id = h.doc_id
+    WHERE h.shared_shingles >= {min_shared}
+    """

@@ -127,6 +127,12 @@ ann_ivf_trained_query, ann_ivf_trained_oracle = _staged_query(
     similarity.ann_ivf_trained_sql,
     ("embeddings",),
 )
+ann_topk_batch_query, ann_topk_batch_oracle = _staged_query(
+    [("ivf_centroids", similarity.ivf_centroids_sql)],
+    lambda d: similarity.ann_topk_batch_sql(d, cents_rel="ivf_centroids"),
+    similarity.ann_topk_batch_sql,
+    ("embeddings",),
+)
 ann_bruteforce_query, ann_bruteforce_oracle = _sql_query(
     similarity.ann_bruteforce_sql, ("embeddings",)
 )
@@ -141,6 +147,15 @@ emb_neardup_exact_query, emb_neardup_exact_oracle = _sql_query(
 )
 corpus_stats_query, corpus_stats_oracle = _sql_query(
     textops.corpus_stats_sql, ("documents",)
+)
+doc_length_histogram_query, doc_length_histogram_oracle = _sql_query(
+    textops.doc_length_histogram_sql, ("documents",)
+)
+contamination_query, contamination_oracle = _staged_query(
+    [("ngram_sets", dedup.ngram_sets_sql)],
+    lambda d: textops.contamination_sql(d, sets_rel="ngram_sets"),
+    textops.contamination_sql,
+    ("documents",),
 )
 emb_neardup_trained_query, emb_neardup_trained_oracle = _staged_query(
     [
@@ -240,6 +255,19 @@ def build_corpus_queries(params):
         ),
         "ann_topk_ivf": _sql_query(
             lambda d: similarity.ivf_topk_sql(d, params=params),
+            ("embeddings",),
+        ),
+        "ann_topk_batch": _staged_query(
+            [
+                (
+                    "ivf_centroids",
+                    lambda d: similarity.ivf_centroids_sql(d, params=params),
+                )
+            ],
+            lambda d: similarity.ann_topk_batch_sql(
+                d, cents_rel="ivf_centroids", params=params
+            ),
+            lambda d: similarity.ann_topk_batch_sql(d, params=params),
             ("embeddings",),
         ),
         "ann_topk_ivf_trained": _staged_query(

@@ -1,0 +1,128 @@
+"""Datadog log-intake WIRE bytes: gzip JSON-array chunks with the
+reference's size/record caps and monotonic chunk IDs.
+
+Chunk = gzip("[" + rec + ("," + rec)* + "]") — the exact body the
+reference POSTs to the Datadog logs endpoint (ref: output/datadog/
+chunk.go:21-110). Caps count UNCOMPRESSED bytes including the comma
+delimiters and the closing bracket: 5 MiB / 1000 records per chunk
+(ref: output/datadog/config.go:20-26). Chunk IDs come from the same
+nanosecond+sequence generator as the fluentd path (ref:
+output/shared/chunkidgen.go:27-39).
+
+The per-record JSON is the oracle-gated serializer output
+(sinks/serializers.datadog_event — epoch-ms strings, default ddtags,
+field order pinned against the reference goldens), so chunk bytes
+inherit that parity; tests round-trip chunks back to the golden event
+list.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+from collections.abc import Iterable, Iterator
+
+from .fluentd_wire import ChunkIDGenerator
+
+MAX_CHUNK_BYTES = 5 * 1024 * 1024  # uncompressed JSON-array bytes
+MAX_CHUNK_RECORDS = 1000
+
+
+def chunk_events(
+    event_jsons: Iterable[str],
+    max_bytes: int = MAX_CHUNK_BYTES,
+    max_records: int = MAX_CHUNK_RECORDS,
+    idgen: ChunkIDGenerator | None = None,
+) -> Iterator[tuple[str, bytes, int, int]]:
+    """Stream serialized JSON events into gzip array chunks.
+
+    Yields ``(chunk_id, chunk_bytes, n_records, n_raw_bytes)`` where
+    ``n_raw_bytes`` is the uncompressed array size the caps are
+    measured against (opening bracket + records + commas + closing
+    bracket, mirroring chunk.go's numBytes accounting).
+    """
+    idgen = idgen or ChunkIDGenerator()
+    buf: list[str] = []
+    n_raw = 1  # the opening "["
+
+    def flush():
+        nonlocal buf, n_raw
+        if not buf:
+            return None
+        body = "[" + ",".join(buf) + "]"
+        out = (
+            idgen.generate(),
+            gzip.compress(body.encode("utf-8"), mtime=0),
+            len(buf),
+            n_raw + 1,  # + closing "]"
+        )
+        buf, n_raw = [], 1
+        return out
+
+    for ev in event_jsons:
+        data_len = len(ev.encode("utf-8"))
+        delim = 1 if buf else 0
+        over_records = max_records > 0 and len(buf) >= max_records
+        over_bytes = (
+            max_bytes > 0 and buf
+            and n_raw + delim + data_len + 1 > max_bytes
+        )
+        if over_records or over_bytes:
+            done = flush()
+            if done:
+                yield done
+            delim = 0
+        buf.append(ev)
+        n_raw += delim + data_len
+    done = flush()
+    if done:
+        yield done
+
+
+def decode_chunk(data: bytes) -> list:
+    """Chunk bytes → list of event dicts (round-trip check)."""
+    return json.loads(gzip.decompress(data).decode("utf-8"))
+
+
+def write_wire_chunks(
+    events_df,
+    out_dir: str,
+    event_col: str = "datadog_event",
+    max_bytes: int = MAX_CHUNK_BYTES,
+    max_records: int = MAX_CHUNK_RECORDS,
+) -> None:
+    """Write Datadog wire chunks per tag: ``<out>/<tag>/<id>.json.gz``,
+    events in (conv_id, turn_idx) FIFO order within the tag (same shape
+    as the fluentd wire writer — per-tag groups, embarrassingly
+    parallel)."""
+    import os
+
+    import pandas as pd
+
+    def run_tag(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["conv_id", "turn_idx"])
+        tag = pdf["tag"].iloc[0]
+        tag_dir = os.path.join(out_dir, tag.replace("/", "_"))
+        os.makedirs(tag_dir, exist_ok=True)
+        rows = []
+        for cid, chunk, n_rec, n_raw in chunk_events(
+            pdf[event_col], max_bytes=max_bytes, max_records=max_records
+        ):
+            with open(os.path.join(tag_dir, f"{cid}.json.gz"), "wb") as fh:
+                fh.write(chunk)
+            rows.append((tag, cid, n_rec, n_raw, len(chunk)))
+        return pd.DataFrame(
+            rows,
+            columns=["tag", "chunk_id", "records", "raw_bytes", "chunk_bytes"],
+        )
+
+    (
+        events_df.select("tag", "conv_id", "turn_idx", event_col)
+        .groupBy("tag")
+        .applyInPandas(
+            run_tag,
+            "tag string, chunk_id string, records long, raw_bytes long, "
+            "chunk_bytes long",
+        )
+        .count()
+    )

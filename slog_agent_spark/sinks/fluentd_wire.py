@@ -211,6 +211,9 @@ def unpack(data: bytes, pos: int = 0):
     if b == 0xDE:
         n = struct.unpack_from(">H", data, pos)[0]
         return _unpack_map(data, pos + 2, n)
+    if b == 0xDF:
+        n = struct.unpack_from(">I", data, pos)[0]
+        return _unpack_map(data, pos + 4, n)
     if b == 0xD7:  # fixext8
         ext_type = data[pos]
         pos += 1

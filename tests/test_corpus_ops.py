@@ -77,3 +77,47 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
 def test_exact_dedup_covers_corpus(spark):
     rows = C.exact_dedup_query(spark, SF_DIR).collect()
     assert sum(r["group_size"] for r in rows) == 500
+
+
+def test_contamination_flags_eval_overlap(duck):
+    """A corpus doc embedding an eval doc's text is flagged with a high
+    contamination ratio; unrelated docs are not flagged (DuckDB-executed
+    — the generators are dual-dialect, parity is pinned by the gate)."""
+    from slog_agent_spark.functions.dialect import DUCKDB
+    from slog_agent_spark.operators.textops import contamination_sql
+
+    eval_text = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (0, eval_text),                                   # the eval doc
+        (10, "prefix words " + eval_text + " suffix words here"),  # contaminated
+        (11, "completely different content about databases and engines ok"),
+    ]
+    vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    con = duckdb.connect()
+    sql = contamination_sql(DUCKDB, rel=f"(VALUES {vals}) docs(doc_id, text)",
+                            min_shared=3)
+    got = {r[0]: r for r in con.execute(sql).fetchall()}
+    assert 10 in got and got[10][1] == 0       # flagged against eval doc 0
+    assert got[10][3] > 0.4                    # high shared-shingle ratio
+    assert 11 not in got                       # clean doc untouched
+
+
+def test_length_histogram_buckets_are_integer_exact(duck):
+    """Boundary values land in the right bucket (no float log2) and the
+    rollup conserves doc/token totals."""
+    from slog_agent_spark.functions.dialect import DUCKDB
+    from slog_agent_spark.operators.textops import doc_length_histogram_sql
+
+    # docs with exactly 15, 16, 31 and 32 whitespace tokens
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate([15, 16, 31, 32])]
+    vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    con = duckdb.connect()
+    sql = doc_length_histogram_sql(
+        DUCKDB, rel=f"(VALUES {vals}) docs(doc_id, text)"
+    )
+    got = {r[0]: r for r in con.execute(sql).fetchall()}
+    assert got[0][2] == 1 and got[0][1] == "< 16"     # the 15-token doc
+    assert got[1][2] == 2 and got[1][1] == "16-31"    # 16 and 31
+    assert got[2][2] == 1 and got[2][1] == "32-63"    # 32
+    assert sum(r[2] for r in got.values()) == 4
+    assert sum(r[3] for r in got.values()) == 15 + 16 + 31 + 32

@@ -121,3 +121,52 @@ def test_spark_writer_per_tag_chunks(spark, sf_dir):
                 assert "log" in record and "environment" in record
         assert total == n_expected
         assert seen_tags == tags
+
+
+# ---------------------------------------------------------------------------
+# property tests: the inlined msgpack codec round-trips arbitrary values
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_scalar = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**64 - 1),
+    st.floats(allow_nan=False),
+    st.text(max_size=300),
+    st.binary(max_size=300),
+    st.builds(
+        EventTime,
+        st.integers(min_value=0, max_value=2**32 - 1),
+        st.integers(min_value=0, max_value=999_999_999),
+    ),
+)
+_value = st.recursive(
+    _scalar,
+    lambda children: st.one_of(
+        st.lists(children, max_size=8),
+        st.dictionaries(st.text(max_size=40), children, max_size=8),
+    ),
+    max_leaves=40,
+)
+
+
+def _norm(v):
+    """tuples decode as lists; everything else round-trips identically."""
+    if isinstance(v, tuple):
+        return [_norm(x) for x in v]
+    if isinstance(v, list):
+        return [_norm(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _norm(x) for k, x in v.items()}
+    return v
+
+
+@settings(max_examples=300, deadline=None)
+@given(_value)
+def test_msgpack_roundtrip_property(v):
+    data = pack(v)
+    out, pos = unpack(data)
+    assert pos == len(data)
+    assert _norm(out) == _norm(v)
