@@ -192,3 +192,23 @@ def windowed_role_counts(
             "turns",
         )
     )
+
+
+def dedup_stream(
+    transcripts_stream: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-delivered turns by
+    (conv_id, turn_idx) within the watermark — the at-least-once
+    ingestion guard (a TCP/queue source that retries after an un-ACKed
+    chunk re-sends whole batches; the reference relies on its buffer's
+    chunk IDs for the same purpose, SURVEY §2.9).
+
+    ``dropDuplicatesWithinWatermark`` keeps state only for the
+    watermark horizon — bounded memory at any stream length, unlike an
+    unbounded dropDuplicates. Batch-equivalent to a plain
+    dropDuplicates over the same key (tests/test_streaming.py).
+    """
+    return transcripts_stream.withWatermark(
+        "ts", watermark
+    ).dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])

@@ -142,3 +142,29 @@ def test_streaming_sessionization_equals_batch(spark, sf_dir):
         assert len(got) > len(
             {k[0] for k in got}
         )  # the gap really splits some conversation into >1 session
+
+
+def test_streaming_dedup_equals_batch(spark, sf_dir):
+    """Duplicated input files (at-least-once redelivery) dedup back to
+    the batch-distinct turn set."""
+    from slog_agent_spark.streaming.stream import dedup_stream
+
+    with tempfile.TemporaryDirectory() as work:
+        tdir = f"{work}/transcripts"
+        t = transcripts_df(spark, sf_dir)
+        t.write.parquet(tdir)
+        t.write.mode("append").parquet(tdir)  # the redelivery
+        q = (
+            dedup_stream(stream_transcripts(spark, tdir))
+            .writeStream.format("memory")
+            .queryName("dedup_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.table("dedup_stream")
+        n_batch = t.count()
+        assert spark.read.parquet(tdir).count() == 2 * n_batch
+        assert got.count() == n_batch
+        assert got.select("conv_id", "turn_idx").distinct().count() == n_batch

@@ -207,6 +207,31 @@ def main() -> None:
     check("emb-neardup-trained: no cartesian",
           "CartesianProduct" not in raw8, "")
 
+    # 8b. batch ANN: query + centroid relations broadcast; candidates
+    # come from joins, never a corpus x corpus cartesian
+    ab = C.ann_topk_batch_query(spark, sf)
+    raw8b = plan_of(ab)
+    check("ann-batch: broadcasts (query/centroid sides)",
+          "BroadcastHashJoin" in raw8b or "BroadcastNestedLoopJoin" in raw8b,
+          "")
+    check("ann-batch: no cartesian", "CartesianProduct" not in raw8b, "")
+    check("ann-batch: centroids materialized", "ExistingRDD" in raw8b, "")
+    sections.append((
+        "batch ANN top-k",
+        "one bucket join feeds per-query ranking windows; centroid "
+        "relation read from the materialized training stage",
+        formatted(ab),
+    ))
+
+    # 8c. contamination scan: postings join on the shingle key, reusing
+    # the materialized n-gram sets — no shingle recompute, no cartesian
+    ct = C.contamination_query(spark, sf)
+    raw8c = plan_of(ct)
+    check("contamination: no cartesian/nested-loop",
+          "CartesianProduct" not in raw8c and "NestedLoop" not in raw8c, "")
+    check("contamination: reads materialized sets (no shingle recompute)",
+          "ExistingRDD" in raw8c and "array_join" not in raw8c, "")
+
     # 8a. lookup-enrich: the dimension join must broadcast (zero extra
     # shuffles beyond the rollup's own aggregate exchange)
     te = P.team_enrich_rollup_df(spark, sf)
