@@ -14,7 +14,8 @@ semantics match the reference's empty≡missing rule.
 from __future__ import annotations
 
 from .dialect import SqlDialect
-from .glob import glob_to_regex
+from .glob import glob_to_predicate, glob_to_regex
+from .regexlit import required_literal
 
 Condition = dict[str, object]  # field -> value | (op, value)
 
@@ -38,8 +39,19 @@ def compile_value_match(d: SqlDialect, col: str, op: str, value: str) -> str:
     if op == "str-contain":
         return d.contains(col, value)
     if op == "glob":
+        # regex-free positional/locate compilation where the glob's
+        # shape allows (most do); regex only for alternation / negated
+        # classes — the reference's scan-first design (DESIGN.md:83)
+        pred = glob_to_predicate(d, col, value)
+        if pred is not None:
+            return pred
         return d.rlike(col, glob_to_regex(value))
     if op == "regex":
+        # containment precheck on the pattern's required literal skips
+        # the regex for rows that cannot match
+        lit = required_literal(value)
+        if lit:
+            return f"({d.contains(col, lit)} AND {d.rlike(col, value)})"
         return d.rlike(col, value)
     if op == "len-gt":
         return f"({d.length(col)} > {int(value)})"

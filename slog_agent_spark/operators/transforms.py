@@ -46,6 +46,10 @@ import re
 from dataclasses import dataclass, field
 
 from ..functions.dialect import SqlDialect
+from ..functions.regexlit import (
+    named_groups_to_plain as _named_groups_to_plain,
+    required_literal as _required_literal,
+)
 from ..functions.match import compile_match
 from ..functions.template import compile_template
 
@@ -122,115 +126,6 @@ def _guarded(state: _State, guard: str, key: str, new_expr: str) -> None:
         state.emit({key: new_expr})
     else:
         state.emit({key: state.d.if_(guard, new_expr, key)})
-
-
-def _named_groups_to_plain(pattern: str) -> tuple[str, dict[str, int]]:
-    """Strip (?<name>…)/(?P<name>…) group names; return name→index map.
-
-    Java and RE2 disagree on named-group syntax, so we resolve names to
-    indexes at compile time and emit anonymous groups.
-    """
-    names: dict[str, int] = {}
-    idx = 0
-    out = []
-    i = 0
-    while i < len(pattern):
-        c = pattern[i]
-        if c == "\\" and i + 1 < len(pattern):
-            out.append(pattern[i : i + 2])
-            i += 2
-            continue
-        if c == "(":
-            m = re.match(r"\(\?P?<([A-Za-z][A-Za-z0-9_]*)>", pattern[i:])
-            if m:
-                idx += 1
-                names[m.group(1)] = idx
-                out.append("(")
-                i += m.end()
-                continue
-            if pattern[i : i + 2] != "(?":
-                idx += 1
-        out.append(c)
-        i += 1
-    return "".join(out), names
-
-
-def _required_literal(pattern: str, min_len: int = 4) -> str | None:
-    """Longest literal run every match of ``pattern`` must contain, or
-    None.
-
-    Scans the pattern *after* named-group syntax is stripped and only
-    collects runs at group-nesting depth 0: anything inside ``(...)``
-    may be made optional by a trailing ``?``/``*``/``{0,n}``, and group
-    syntax (``?P<name>``) or character-class bodies must never be
-    mistaken for literals (a raw-pattern split once returned
-    ``P<username>`` for ``(?P<username>...)``, silently disabling the
-    step via the contains() precheck). Conservative: bails on
-    alternation; breaks runs on escapes/classes/metachars; drops a char
-    directly quantified by ``?``/``*``/``{`` (``+`` keeps it — the char
-    still occurs at least once, contiguously)."""
-    plain, _ = _named_groups_to_plain(pattern)
-    if "|" in plain:
-        return None
-    best = ""
-    cur = ""
-    depth = 0
-    i = 0
-    n = len(plain)
-
-    def flush() -> None:
-        nonlocal best, cur
-        if len(cur) > len(best):
-            best = cur
-        cur = ""
-
-    while i < n:
-        c = plain[i]
-        if c == "\\":  # escape: conservatively break the run
-            flush()
-            i += 2
-            continue
-        if c == "[":  # skip the whole class body
-            flush()
-            i += 1
-            if i < n and plain[i] == "^":
-                i += 1
-            if i < n and plain[i] == "]":  # leading ] is literal
-                i += 1
-            while i < n and plain[i] != "]":
-                i += 2 if plain[i] == "\\" else 1
-            i += 1
-            continue
-        if c == "(":
-            flush()
-            depth += 1
-            i += 1
-            continue
-        if c == ")":
-            flush()
-            depth = max(0, depth - 1)
-            i += 1
-            continue
-        if c == "{":  # skip the {m,n} body — not literal text
-            flush()
-            while i < n and plain[i] != "}":
-                i += 1
-            i += 1
-            continue
-        if c in "?*+}^$.":
-            flush()
-            i += 1
-            continue
-        if depth == 0:
-            nxt = plain[i + 1] if i + 1 < n else ""
-            if nxt and nxt in "?*{":  # char itself may match zero times
-                flush()
-                i += 1
-                continue
-            cur += c
-        i += 1
-    flush()
-    return best if len(best) >= min_len else None
 
 
 _EXTRACT_PATTERN = re.compile(
@@ -503,8 +398,15 @@ def compile_steps(state: _State, steps: list[dict], guard: str) -> None:
             pat = step["pattern"]
             if isinstance(pat, tuple):  # ("regex", pattern) from YAML !!regex
                 pat = pat[1]
+            # a row missing the pattern's required literal cannot match —
+            # gate the regex scan behind a contains() precheck (identity
+            # replace on non-matching rows makes the gate semantics-free)
+            cond = guard
+            lit = _required_literal(pat)
+            if lit:
+                cond = _and(guard, d.contains(k, lit))
             _guarded(
-                state, guard, k,
+                state, cond, k,
                 d.regexp_replace_all(k, pat, step["replacement"]),
             )
 

@@ -148,3 +148,75 @@ def test_dialect_helpers_dual_engine(spark, duck, builder, fields, expected):
     both engines must agree exactly (values compared as strings/ints)."""
     got = eval_both(spark, duck, builder, fields)
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# glob predicate compilation (regex-free path) — equivalence vs the
+# regex translation, DuckDB-evaluated (same generator emits both dialects)
+# ---------------------------------------------------------------------------
+
+def _glob_agree(duck, pattern: str, values: list[str]):
+    from slog_agent_spark.functions.dialect import DUCKDB
+    from slog_agent_spark.functions.glob import glob_to_predicate, glob_to_regex
+
+    pred = glob_to_predicate(DUCKDB, "col", pattern)
+    assert pred is not None, f"expected predicate compilation for {pattern!r}"
+    regex = glob_to_regex(pattern)
+    for v in values:
+        lit = v.replace("'", "''")
+        got, want = duck.execute(
+            f"SELECT {pred}, regexp_matches(col, '{regex}') "
+            f"FROM (VALUES ('{lit}')) t(col)"
+        ).fetchone()
+        assert bool(got) == bool(want), (pattern, v, got, want)
+
+
+def test_glob_predicate_flagship_shape(duck):
+    _glob_agree(duck, "P[OU][ST]** params=**", [
+        "POST /submit params=x", "PUT / params=", "POST /submit",
+        "GET / params=x", "params= POST", "PO", "POSTparams=",
+        "PXST params=y", "POST params=", " params=POST x",
+    ])
+
+
+def test_glob_predicate_shapes(duck):
+    _glob_agree(duck, "task.log:*", ["task.log:abc", "task.log", "x task.log:y"])
+    _glob_agree(duck, "*@example.com", ["a@example.com", "@example.comX", ""])
+    _glob_agree(duck, "*error*", ["an error here", "ERROR", "err or"])
+    _glob_agree(duck, "a*b*c", ["abc", "aXbYc", "acb", "a b c", "ac", "abcb"])
+    _glob_agree(duck, "ab*bc", ["abbc", "abc", "abXbc", "ababc"])
+    _glob_agree(duck, "???", ["abc", "ab", "abcd"])
+    _glob_agree(duck, "?x[0-9]", ["ax1", "ax", "xx0", "axa"])
+    _glob_agree(duck, "pre?mid*[af]", ["preXmidZZa", "preXmid", "premidf"])
+
+
+def test_glob_predicate_falls_back_when_needed():
+    from slog_agent_spark.functions.dialect import DUCKDB
+    from slog_agent_spark.functions.glob import glob_to_predicate
+
+    assert glob_to_predicate(DUCKDB, "c", "{a,b}x") is None      # alternation
+    assert glob_to_predicate(DUCKDB, "c", "[!abc]x") is None     # negation
+    assert glob_to_predicate(DUCKDB, "c", "x*[ab]y*z") is None   # floating class
+
+
+def test_glob_predicate_property(duck):
+    """Randomized equivalence: predicate == regex on strings derived
+    from the pattern's own alphabet (dense positive/near-miss cases)."""
+    import random
+
+    from slog_agent_spark.functions.dialect import DUCKDB
+    from slog_agent_spark.functions.glob import glob_to_predicate
+
+    rng = random.Random(42)
+    parts = ["ab", "c", "*", "?", "[ab]", "*", "xy", "q"]
+    for _ in range(80):
+        n = rng.randint(1, 5)
+        pattern = "".join(rng.choice(parts) for _ in range(n))
+        if glob_to_predicate(DUCKDB, "col", pattern) is None:
+            continue
+        alphabet = "abcxyq"
+        values = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 8)))
+            for _ in range(12)
+        ]
+        _glob_agree(duck, pattern, values)
