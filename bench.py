@@ -205,6 +205,9 @@ def run_bench(sf_dir: str, cpus: int, explode: int) -> dict:
                 ("ann_topk_ivf_trained", CQ.ann_ivf_trained_query),
                 ("corpus_stats", CQ.corpus_stats_query),
                 ("corpus_retention", CQ.corpus_retention_query),
+                ("ann_topk_batch", CQ.ann_topk_batch_query),
+                ("corpus_contamination", CQ.contamination_query),
+                ("doc_length_histogram", CQ.doc_length_histogram_query),
             ):
                 t0 = time.time()
                 q(spark, sf_dir).collect()

@@ -32,6 +32,12 @@ def main(argv: list[str]) -> int:
         help="pipeline YAML (reference config format); defaults to the "
              "packaged flagship config",
     )
+    ap.add_argument(
+        "--wire-format", default=None, choices=["fluentd", "datadog", "both"],
+        help="additionally write protocol wire chunks (msgpack/gzip "
+             "fluentd forward, gzip JSON-array datadog) under "
+             "<output>/_wire/<output-name>/<tag>/",
+    )
     args = ap.parse_args(argv)
 
     from slog_agent_spark.operators.metrics import process_metrics, prometheus_dump
@@ -61,6 +67,28 @@ def main(argv: list[str]) -> int:
             transformed, ckpt, salt_buckets=args.salt_buckets
         )
         print(f"committed {len(written)} sink partitions: {sorted(written)}")
+
+        if args.wire_format:
+            import os as _os
+
+            from slog_agent_spark.plans.pipeline import events_for_outputs
+            from slog_agent_spark.sinks import datadog_wire, fluentd_wire
+
+            ev = events_for_outputs(transformed, pipeline_cfg)
+            for name, ocfg in pipeline_cfg.outputs.items():
+                kind = (
+                    "fluentd" if ocfg["type"] == "fluentdForward" else "datadog"
+                )
+                if args.wire_format not in (kind, "both"):
+                    continue
+                wire_dir = _os.path.join(args.output, "_wire", name)
+                writer = (
+                    fluentd_wire if kind == "fluentd" else datadog_wire
+                )
+                writer.write_wire_chunks(
+                    ev, wire_dir, event_col=f"{name}_event"
+                )
+                print(f"wire chunks ({kind}) -> {wire_dir}")
 
         dump = prometheus_dump(
             process_metrics(transformed, pipeline_cfg), pipeline_cfg

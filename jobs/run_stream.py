@@ -1,0 +1,76 @@
+"""spark-submit entry point for the Structured Streaming shell.
+
+Usage (cluster):
+    tools/package.sh          # builds dist/slog_agent_spark.zip
+    spark-submit --py-files dist/slog_agent_spark.zip \\
+        jobs/run_stream.py \\
+        --input <transcript parquet dir (files appear over time)> \\
+        --output <sink root> --checkpoint <streaming checkpoint root> \\
+        [--mode pipeline|sessions|dedup|counters] [--drain]
+
+Modes (all watermarked, all resume from --checkpoint):
+    pipeline   full parse→transform→route through foreachBatch, per-tag
+               parquet sinks (exactly-once via checkpoint + idempotent
+               batch overwrites)
+    sessions   per-conversation gap sessionization (session_window)
+    dedup      at-least-once redelivery guard
+               (dropDuplicatesWithinWatermark on conv_id/turn_idx)
+    counters   event-time windowed per-role counters
+
+``--drain`` uses trigger(availableNow=True): process everything present
+then exit — the batch-parity mode the tests use. Without it the query
+runs continuously (micro-batches as files land).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--mode", default="pipeline",
+                    choices=["pipeline", "sessions", "dedup", "counters"])
+    ap.add_argument("--drain", action="store_true",
+                    help="availableNow trigger: drain existing input, exit")
+    args = ap.parse_args(argv)
+
+    from slog_agent_spark.session import build_session
+    from slog_agent_spark.streaming import stream as S
+
+    spark = build_session(app_name=f"slog-agent-spark-stream-{args.mode}")
+    try:
+        if args.mode == "pipeline":
+            # has its own foreachBatch writer + availableNow drain
+            S.run_stream_pipeline(
+                spark, args.input, args.output, args.checkpoint
+            )
+            return 0
+
+        src = S.stream_transcripts(spark, args.input)
+        df = {
+            "sessions": S.session_rollup_stream,
+            "dedup": S.dedup_stream,
+            "counters": S.windowed_role_counts,
+        }[args.mode](src)
+        writer = (
+            df.writeStream.format("parquet")
+            .option("path", args.output)
+            .option("checkpointLocation", args.checkpoint)
+            .outputMode("append")
+        )
+        if args.drain:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
+        q.awaitTermination()
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

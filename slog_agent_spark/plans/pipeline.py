@@ -324,6 +324,28 @@ def serialized_events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_for_outputs(
+    transformed: DataFrame, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """Serialized events for every configured output over an
+    already-transformed frame: (conv_id, turn_idx, tag, <name>_event...).
+    The wire-chunk writers (sinks/fluentd_wire, sinks/datadog_wire)
+    consume this directly."""
+    from ..sinks.serializers import datadog_event, fluentd_event
+
+    cfg = cfg or DEFAULT_CONFIG
+    cols = [F.col("conv_id"), F.col("turn_idx"), F.col("tag")]
+    for name, ocfg in cfg.outputs.items():
+        builder = (
+            fluentd_event if ocfg["type"] == "fluentdForward" else datadog_event
+        )
+        cols.append(
+            F.expr(builder(SPARK, ocfg, "tag", cfg.schema_fields))
+            .alias(f"{name}_event")
+        )
+    return transformed.where("NOT dropped").select(*cols)
+
+
 def serialized_events_oracle_sql() -> str:
     from ..sinks.serializers import datadog_event, fluentd_event
     from .config import OUTPUTS
