@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda spark, sf: _cast_counts_long(
             C.ngram_jaccard_query(spark, sf)
         ),
+        "dedup_groups_cc": C.dedup_groups_query,
         "ann_topk_bruteforce": C.ann_bruteforce_query,
         "ann_topk_ivf": C.ann_ivf_query,
         "ann_topk_ivf_trained": C.ann_ivf_trained_query,
@@ -154,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": C.simhash_oracle(),
         "dedup_simhash_neardup": C.simhash_neardup_oracle(),
         "dedup_ngram_jaccard": C.ngram_jaccard_oracle(),
+        "dedup_groups_cc": C.dedup_groups_oracle(),
         "ann_topk_bruteforce": C.ann_bruteforce_oracle(),
         "ann_topk_ivf": C.ann_ivf_oracle(),
         "ann_topk_ivf_trained": C.ann_ivf_trained_oracle(),

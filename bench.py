@@ -208,6 +208,7 @@ def run_bench(sf_dir: str, cpus: int, explode: int) -> dict:
                 ("ann_topk_batch", CQ.ann_topk_batch_query),
                 ("corpus_contamination", CQ.contamination_query),
                 ("doc_length_histogram", CQ.doc_length_histogram_query),
+                ("dedup_groups_cc", CQ.dedup_groups_query),
             ):
                 t0 = time.time()
                 q(spark, sf_dir).collect()

@@ -41,6 +41,7 @@ DOC_OPS = (
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash_neardup",
+    "dedup_groups_cc",
     "corpus_retention",
 )
 EMB_OPS = (
@@ -67,6 +68,7 @@ def registry(params=None):
         "dedup_minhash_lsh": C.minhash_lsh_query,
         "dedup_ngram_jaccard": C.ngram_jaccard_query,
         "dedup_simhash_neardup": C.simhash_neardup_query,
+        "dedup_groups_cc": C.dedup_groups_query,
         "corpus_retention": C.corpus_retention_query,
         "ann_topk_ivf_trained": C.ann_ivf_trained_query,
         "ann_topk_batch": C.ann_topk_batch_query,

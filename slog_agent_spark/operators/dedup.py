@@ -570,3 +570,87 @@ def corpus_retention_sql(
         + " "
         + corpus_retention_final(d, params)
     )
+
+
+# -- transitive duplicate groups (connected components) ----------------------
+CC_ITERS = 5
+
+
+def cc_edges_sql(d: SqlDialect, pairs_rel: str) -> str:
+    """Symmetrized edge list of the near-dup pair graph."""
+    return (
+        f"SELECT doc_a AS src, doc_b AS dst FROM {pairs_rel} "
+        f"UNION ALL SELECT doc_b AS src, doc_a AS dst FROM {pairs_rel}"
+    )
+
+
+def cc_init_sql(d: SqlDialect, edges_rel: str) -> str:
+    """Initial labels: every vertex labelled by itself."""
+    return f"SELECT DISTINCT src AS doc_id, src AS label FROM {edges_rel}"
+
+
+def cc_step_sql(d: SqlDialect, edges_rel: str, labels_rel: str) -> str:
+    """One min-label propagation round: each vertex takes the min label
+    among itself and its neighbours."""
+    return f"""
+    SELECT e.src AS doc_id, least(min(v.label), min(nb.label)) AS label
+    FROM {edges_rel} e
+    JOIN {labels_rel} v ON v.doc_id = e.src
+    JOIN {labels_rel} nb ON nb.doc_id = e.dst
+    GROUP BY e.src
+    """
+
+
+def cc_final_sql(d: SqlDialect, labels_rel: str) -> str:
+    """(doc_id, group_id, group_size, is_exemplar) from converged labels
+    — the duplicate-cluster table a dedup cut joins against (keep
+    exemplars, drop the rest)."""
+    return f"""
+    SELECT doc_id, CAST(group_id AS BIGINT) AS group_id,
+           CAST(group_size AS BIGINT) AS group_size,
+           (doc_id = group_id) AS is_exemplar
+    FROM (SELECT doc_id, label AS group_id,
+                 count(*) OVER (PARTITION BY label) AS group_size
+          FROM {labels_rel}) sized
+    """
+
+
+def dedup_groups_sql(
+    d: SqlDialect, docs_rel: str = "documents",
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
+    iters: int = CC_ITERS,
+) -> str:
+    """Transitive duplicate groups: connected components of the MinHash-
+    LSH near-dup graph via fixed-iteration min-label propagation —
+    single-SQL (oracle) composition.
+
+    Single-round pair removal (corpus_retention) cuts B of every (A, B)
+    pair but leaves transitive chains A~B~C unresolved; training-set
+    dedup wants the full duplicate CLUSTER, keeping one exemplar per
+    component. ``iters`` is FIXED (not run-to-fixpoint) so both engines
+    compute identical results by construction — exact for components of
+    diameter ≤ iters (the tests assert the fixture reaches fixpoint).
+
+    Every multi-referenced relation here is ``AS MATERIALIZED``: each
+    l{t} is referenced twice by l{t+1}, and an inlined chain re-executes
+    the prefix 2^k times (measured: 200s vs 2s on the sf0.01 fixture).
+    The Spark runner (plans/corpus.py:dedup_groups_query) does the same
+    thing physically — one materialization per round, the standard
+    iterative-algorithm shape; at 10^9+ docs each round is one self-join
+    shuffle bounded by the PAIR graph, orders of magnitude smaller than
+    the corpus (log-diameter rounds, or large-star/small-star).
+    """
+    assert d.name == d.DUCKDB, "Spark path runs the iterative runner"
+    mat = "AS MATERIALIZED "
+    parts = [
+        f"sig0 AS MATERIALIZED ({minhash_signatures_sql(d, docs_rel, params)})",
+        minhash_pairs_ctes(d, "sig0", params).strip(),
+        f"pairs {mat}({MINHASH_PAIRS_FINAL.format(threshold=params.jaccard_threshold)})",
+        f"edges {mat}({cc_edges_sql(d, 'pairs')})",
+        f"l0 {mat}({cc_init_sql(d, 'edges')})",
+    ]
+    prev = "l0"
+    for t in range(1, iters + 1):
+        parts.append(f"l{t} {mat}({cc_step_sql(d, 'edges', prev)})")
+        prev = f"l{t}"
+    return "WITH " + ", ".join(parts) + " " + cc_final_sql(d, prev)

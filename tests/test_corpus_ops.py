@@ -121,3 +121,32 @@ def test_length_histogram_buckets_are_integer_exact(duck):
     assert got[2][2] == 1 and got[2][1] == "32-63"    # 32
     assert sum(r[2] for r in got.values()) == 4
     assert sum(r[3] for r in got.values()) == 15 + 16 + 31 + 32
+
+
+def test_dedup_groups_cc_fixpoint_and_transitivity(spark, sf_dir):
+    """The fixed iteration count reaches the true fixpoint on the
+    fixture, components are edge-consistent (both endpoints of every
+    near-dup pair share a group), and the exemplar is the group min."""
+    from slog_agent_spark.functions.dialect import SPARK as SD
+    from slog_agent_spark.operators import dedup as D
+
+    got = {r["doc_id"]: r for r in C.dedup_groups_query(spark, sf_dir).collect()}
+    more = {
+        r["doc_id"]: r["group_id"]
+        for r in C.dedup_groups_query(spark, sf_dir, iters=D.CC_ITERS + 2).collect()
+    }
+    assert {k: v["group_id"] for k, v in got.items()} == more  # fixpoint
+
+    pairs = spark.sql(
+        D.minhash_lsh_pairs_sql(SD, "documents")
+    ).collect()
+    assert pairs  # the fixture really has near-dups
+    for p in pairs:
+        assert got[p["doc_a"]]["group_id"] == got[p["doc_b"]]["group_id"]
+    by_group: dict = {}
+    for doc_id, r in got.items():
+        by_group.setdefault(r["group_id"], []).append(doc_id)
+    for gid, members in by_group.items():
+        assert gid == min(members)
+        assert all(got[m]["group_size"] == len(members) for m in members)
+        assert sum(got[m]["is_exemplar"] for m in members) == 1
