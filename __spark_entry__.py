@@ -104,6 +104,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_trained": C.emb_neardup_trained_query,
         "corpus_stats": C.corpus_stats_query,
         "doc_length_histogram": C.doc_length_histogram_query,
+        "doc_repetition": lambda spark, sf: _cast_counts_long(
+            C.doc_repetition_query(spark, sf)
+        ),
+        "doc_gopher_flags": C.gopher_flags_query,
         "corpus_contamination": C.contamination_query,
         "corpus_retention": C.corpus_retention_query,
         "multimodal_feature_extract": lambda spark, sf: _mm_features(spark, sf),
@@ -165,6 +169,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_trained": C.emb_neardup_trained_oracle(),
         "corpus_stats": C.corpus_stats_oracle(),
         "doc_length_histogram": C.doc_length_histogram_oracle(),
+        "doc_repetition": C.doc_repetition_oracle(),
+        "doc_gopher_flags": C.gopher_flags_oracle(),
         "corpus_contamination": C.contamination_oracle(),
         "corpus_retention": C.corpus_retention_oracle(),
         "multimodal_feature_extract": _mm_oracle(),

@@ -36,6 +36,8 @@ DOC_OPS = (
     "doc_fingerprint",
     "corpus_stats",
     "doc_length_histogram",
+    "doc_repetition",
+    "doc_gopher_flags",
     "corpus_contamination",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -63,6 +65,8 @@ def registry(params=None):
         "doc_fingerprint": C.fingerprint_query,
         "corpus_stats": C.corpus_stats_query,
         "doc_length_histogram": C.doc_length_histogram_query,
+        "doc_repetition": C.doc_repetition_query,
+        "doc_gopher_flags": C.gopher_flags_query,
         "corpus_contamination": C.contamination_query,
         "dedup_exact": C.exact_dedup_query,
         "dedup_minhash_lsh": C.minhash_lsh_query,

@@ -285,3 +285,82 @@ def contamination_sql(
     FROM hits h JOIN {sets_rel} s ON s.doc_id = h.doc_id
     WHERE h.shared_shingles >= {min_shared}
     """
+
+
+# -- repetition signals + rule-based quality gate ----------------------------
+GOPHER_MIN_TOKENS = 20
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MEAN_TOKEN_LEN = (2.0, 12.0)
+GOPHER_MAX_DUP_LINE = 0.30
+GOPHER_MAX_DUP_SHINGLE = 0.30
+GOPHER_MIN_STOPWORD = 0.01
+
+
+def repetition_items(d: SqlDialect, text_col: str = "text") -> dict[str, str]:
+    """Intra-document repetition signals — the boilerplate/spam
+    indicators rule-based corpus filters cut on (duplicate-line
+    fraction, duplicate 3-gram fraction). Pure array arithmetic over the
+    already-defined line/shingle expressions; per-row projection, no
+    shuffle."""
+    from .dedup import shingles_expr
+
+    nl = "'\\n'" if d.name == d.SPARK else "chr(10)"
+    lines = (
+        f"split({text_col}, {nl})" if d.name == d.SPARK
+        else f"str_split({text_col}, {nl})"
+    )
+    n_lines = f"greatest({_size(d, lines)}, 1)"
+    dup_line = (
+        f"1.0 - CAST({_size(d, _array_distinct(d, lines))} AS DOUBLE)"
+        f" / {n_lines}"
+    )
+    sh = shingles_expr(d, text_col)
+    n_sh = f"greatest({_size(d, sh)}, 1)"
+    dup_sh = (
+        f"1.0 - CAST({_size(d, _array_distinct(d, sh))} AS DOUBLE) / {n_sh}"
+    )
+    return {
+        "n_lines": f"CAST({_size(d, lines)} AS INT)",
+        "dup_line_ratio": f"round({dup_line}, 6)",
+        "dup_shingle_ratio": f"round({dup_sh}, 6)",
+    }
+
+
+def gopher_flags_sql(d: SqlDialect, rel: str = "documents") -> str:
+    """Rule-based quality gate in the Gopher-rules style: one row per
+    document with each rule's boolean verdict and the conjunction —
+    the auditable form of a corpus cut (which rule killed this doc?).
+
+    Scale shape: one projection over per-doc metrics + boolean tests;
+    whole-stage codegen, no shuffle.
+    """
+    t = token_count_items(d)
+    q = quality_items(d)
+    r = repetition_items(d)
+    lo, hi = GOPHER_MEAN_TOKEN_LEN
+    return f"""
+    WITH m AS (
+      SELECT doc_id,
+             {t['n_tokens']} AS n_tokens,
+             {q['mean_token_len']} AS mean_token_len,
+             {q['stopword_ratio']} AS stopword_ratio,
+             {r['dup_line_ratio']} AS dup_line_ratio,
+             {r['dup_shingle_ratio']} AS dup_shingle_ratio
+      FROM {rel}
+    )
+    SELECT doc_id,
+           (n_tokens >= {GOPHER_MIN_TOKENS}
+            AND n_tokens <= {GOPHER_MAX_TOKENS}) AS token_count_ok,
+           (mean_token_len >= {lo} AND mean_token_len <= {hi})
+             AS mean_token_len_ok,
+           (stopword_ratio >= {GOPHER_MIN_STOPWORD}) AS stopword_ok,
+           (dup_line_ratio <= {GOPHER_MAX_DUP_LINE}) AS dup_line_ok,
+           (dup_shingle_ratio <= {GOPHER_MAX_DUP_SHINGLE}) AS dup_shingle_ok,
+           (n_tokens >= {GOPHER_MIN_TOKENS}
+            AND n_tokens <= {GOPHER_MAX_TOKENS}
+            AND mean_token_len >= {lo} AND mean_token_len <= {hi}
+            AND stopword_ratio >= {GOPHER_MIN_STOPWORD}
+            AND dup_line_ratio <= {GOPHER_MAX_DUP_LINE}
+            AND dup_shingle_ratio <= {GOPHER_MAX_DUP_SHINGLE}) AS gopher_pass
+    FROM m
+    """

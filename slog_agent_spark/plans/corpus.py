@@ -151,6 +151,12 @@ corpus_stats_query, corpus_stats_oracle = _sql_query(
 doc_length_histogram_query, doc_length_histogram_oracle = _sql_query(
     textops.doc_length_histogram_sql, ("documents",)
 )
+doc_repetition_query, doc_repetition_oracle = _doc_items_query(
+    textops.repetition_items
+)
+gopher_flags_query, gopher_flags_oracle = _sql_query(
+    textops.gopher_flags_sql, ("documents",)
+)
 contamination_query, contamination_oracle = _staged_query(
     [("ngram_sets", dedup.ngram_sets_sql)],
     lambda d: textops.contamination_sql(d, sets_rel="ngram_sets"),

@@ -150,3 +150,29 @@ def test_dedup_groups_cc_fixpoint_and_transitivity(spark, sf_dir):
         assert gid == min(members)
         assert all(got[m]["group_size"] == len(members) for m in members)
         assert sum(got[m]["is_exemplar"] for m in members) == 1
+
+
+def test_repetition_and_gopher_gate_semantics(duck):
+    """A spammy doc (repeated lines) fails the gate on the repetition
+    rules; a normal doc passes (DuckDB-executed; dual-dialect parity is
+    pinned by the driver gate)."""
+    import duckdb as _d
+
+    from slog_agent_spark.functions.dialect import DUCKDB
+    from slog_agent_spark.operators.textops import gopher_flags_sql
+
+    spam_line = "click here to win a prize now"
+    spam = "\n".join([spam_line] * 10)
+    normal = " ".join(
+        f"the word{i} of item{i} and thing{i}" for i in range(20)
+    )
+    con = _d.connect()
+    vals = f"(0, '{spam}'), (1, '{normal}')"
+    sql = gopher_flags_sql(DUCKDB, rel=f"(VALUES {vals}) docs(doc_id, text)")
+    got = {r[0]: r for r in con.execute(sql).fetchall()}
+    cols = [c[0] for c in con.execute(sql).description]
+    spam_row = dict(zip(cols, got[0]))
+    norm_row = dict(zip(cols, got[1]))
+    assert not spam_row["dup_line_ok"] and not spam_row["dup_shingle_ok"]
+    assert not spam_row["gopher_pass"]
+    assert norm_row["gopher_pass"], norm_row
