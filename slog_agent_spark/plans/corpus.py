@@ -181,7 +181,8 @@ emb_neardup_trained_query, emb_neardup_trained_oracle = _staged_query(
     ("embeddings",),
 )
 def dedup_groups_query(
-    spark: SparkSession, sf_dir: str, iters: int = dedup.CC_ITERS
+    spark: SparkSession, sf_dir: str, iters: int = dedup.CC_ITERS,
+    params=None,
 ) -> DataFrame:
     """Iterative Spark runner for the duplicate-cluster components:
     signatures → pairs → edges materialized once, then one MATERIALIZED
@@ -189,11 +190,16 @@ def dedup_groups_query(
     localCheckpoints — the iterative-algorithm shape; an inlined l{t}
     chain duplicates the whole prefix 2^k times in BOTH engines,
     measured 200s → ~3s on the sf0.01 fixture)."""
+    from .corpus_config import DEFAULT_CORPUS_PARAMS
+
+    params = params or DEFAULT_CORPUS_PARAMS
     _register(spark, sf_dir, "documents")
-    sigs = spark.sql(dedup.minhash_signatures_sql(SPARK)).localCheckpoint()
+    sigs = spark.sql(
+        dedup.minhash_signatures_sql(SPARK, params=params)
+    ).localCheckpoint()
     sigs.createOrReplaceTempView("minhash_sigs")
     pairs = spark.sql(
-        dedup.minhash_pairs_from_sigs_sql(SPARK, "minhash_sigs")
+        dedup.minhash_pairs_from_sigs_sql(SPARK, "minhash_sigs", params)
     ).localCheckpoint()
     pairs.createOrReplaceTempView("cc_pairs")
     edges = spark.sql(dedup.cc_edges_sql(SPARK, "cc_pairs")).localCheckpoint()
@@ -210,6 +216,13 @@ def dedup_groups_query(
 
 def dedup_groups_oracle() -> str:
     return dedup.dedup_groups_sql(DUCKDB)
+
+
+def _cc_pair(params):
+    return (
+        lambda spark, sf_dir: dedup_groups_query(spark, sf_dir, params=params),
+        lambda: dedup.dedup_groups_sql(DUCKDB, params=params),
+    )
 corpus_retention_query, corpus_retention_oracle = _staged_query(
     [
         ("minhash_sigs", dedup.minhash_signatures_sql),
@@ -341,6 +354,7 @@ def build_corpus_queries(params):
             ),
             ("embeddings",),
         ),
+        "dedup_groups_cc": _cc_pair(params),
         "corpus_retention": _staged_query(
             [
                 (

@@ -116,3 +116,14 @@ def test_retention_floors_are_live(duck):
     for d in (SPARK, DUCKDB):
         sql = dedup.corpus_retention_sql(d, params=params)
         assert "n_tokens >= 50" in sql and "stopword_ratio <= 0.1" in sql
+
+
+def test_cc_groups_params_are_live(spark, duck, sf_dir):
+    """A lower Jaccard threshold admits more edges — the CC runner and
+    oracle must both honor it and stay hash-equal."""
+    params = dataclasses.replace(
+        DEFAULT_CORPUS_PARAMS, jaccard_threshold=0.2
+    ).validate()
+    run, oracle = build_corpus_queries(params)["dedup_groups_cc"]
+    df = run(spark, sf_dir)
+    assert_df_equals_oracle(df, duck, oracle())
