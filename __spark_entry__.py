@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             C.doc_repetition_query(spark, sf)
         ),
         "doc_gopher_flags": C.gopher_flags_query,
+        "corpus_pii_scan": C.pii_scan_query,
+        "corpus_vocab_top": C.vocab_top_query,
         "corpus_contamination": C.contamination_query,
         "corpus_retention": C.corpus_retention_query,
         "multimodal_feature_extract": lambda spark, sf: _mm_features(spark, sf),
@@ -171,6 +173,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_histogram": C.doc_length_histogram_oracle(),
         "doc_repetition": C.doc_repetition_oracle(),
         "doc_gopher_flags": C.gopher_flags_oracle(),
+        "corpus_pii_scan": C.pii_scan_oracle(),
+        "corpus_vocab_top": C.vocab_top_oracle(),
         "corpus_contamination": C.contamination_oracle(),
         "corpus_retention": C.corpus_retention_oracle(),
         "multimodal_feature_extract": _mm_oracle(),

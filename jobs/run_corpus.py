@@ -38,6 +38,8 @@ DOC_OPS = (
     "doc_length_histogram",
     "doc_repetition",
     "doc_gopher_flags",
+    "corpus_pii_scan",
+    "corpus_vocab_top",
     "corpus_contamination",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -67,6 +69,8 @@ def registry(params=None):
         "doc_length_histogram": C.doc_length_histogram_query,
         "doc_repetition": C.doc_repetition_query,
         "doc_gopher_flags": C.gopher_flags_query,
+        "corpus_pii_scan": C.pii_scan_query,
+        "corpus_vocab_top": C.vocab_top_query,
         "corpus_contamination": C.contamination_query,
         "dedup_exact": C.exact_dedup_query,
         "dedup_minhash_lsh": C.minhash_lsh_query,

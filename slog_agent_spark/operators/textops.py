@@ -364,3 +364,68 @@ def gopher_flags_sql(d: SqlDialect, rel: str = "documents") -> str:
             AND dup_shingle_ratio <= {GOPHER_MAX_DUP_SHINGLE}) AS gopher_pass
     FROM m
     """
+
+
+# -- PII scan / redaction over the corpus ------------------------------------
+
+def pii_scan_sql(d: SqlDialect, rel: str = "documents") -> str:
+    """Per-document PII (email) scan + redacted text: the corpus-side
+    twin of the pipeline's redactEmail transform (same pattern,
+    operators/transforms.REDACT_EMAIL_RE — Java-regex ∩ RE2 so both
+    engines agree char-for-char). Output carries the match count, a
+    redaction flag, and the md5 of the CLEANED text (the dedup-ready
+    content hash — dedup after redaction, or two docs differing only in
+    embedded emails stay distinct forever).
+
+    Scale shape: per-row projection, whole-stage codegen; the
+    contains('@') precheck skips the regex for the (majority) rows that
+    cannot contain an email.
+    """
+    from .transforms import REDACT_EMAIL_RE, REDACT_REPLACEMENT
+
+    if d.name == d.SPARK:
+        n = f"size(regexp_extract_all(text, '{REDACT_EMAIL_RE}', 0))"
+    else:
+        n = f"len(regexp_extract_all(text, '{REDACT_EMAIL_RE}'))"
+    clean = d.regexp_replace_all("text", REDACT_EMAIL_RE, REDACT_REPLACEMENT)
+    gate = d.contains("text", "@")
+    return f"""
+    SELECT doc_id,
+           CAST(CASE WHEN {gate} THEN {n} ELSE 0 END AS INT) AS n_emails,
+           (CASE WHEN {gate} THEN {n} ELSE 0 END) > 0 AS redacted,
+           md5(CASE WHEN {gate} THEN {clean} ELSE text END) AS clean_hash
+    FROM {rel}
+    """
+
+
+# -- vocabulary report -------------------------------------------------------
+VOCAB_TOP_N = 50
+
+
+def vocab_top_sql(
+    d: SqlDialect, rel: str = "documents", top_n: int = VOCAB_TOP_N
+) -> str:
+    """Corpus vocabulary report: the ``top_n`` most frequent tokens with
+    document frequency — the sanity report a tokenizer/mix decision
+    reads (is the corpus dominated by boilerplate tokens?).
+
+    Deterministic tie-break on the token itself. Scale shape: explode to
+    (token, doc) → one groupBy(token) with map-side partial agg → tiny
+    global top-N (the only single-partition step, over |vocab-cutoff|
+    rows, not the corpus).
+    """
+    toks = tokens_expr(d, "text")
+    unnest = f"explode({toks})" if d.name == d.SPARK else f"unnest({toks})"
+    return f"""
+    WITH posting AS (SELECT doc_id, {unnest} AS token FROM {rel}),
+    freq AS (
+      SELECT token,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+      FROM posting GROUP BY token
+    )
+    SELECT token, n_occurrences, doc_freq
+    FROM freq
+    ORDER BY n_occurrences DESC, token
+    LIMIT {top_n}
+    """

@@ -157,6 +157,12 @@ doc_repetition_query, doc_repetition_oracle = _doc_items_query(
 gopher_flags_query, gopher_flags_oracle = _sql_query(
     textops.gopher_flags_sql, ("documents",)
 )
+pii_scan_query, pii_scan_oracle = _sql_query(
+    textops.pii_scan_sql, ("documents",)
+)
+vocab_top_query, vocab_top_oracle = _sql_query(
+    textops.vocab_top_sql, ("documents",)
+)
 contamination_query, contamination_oracle = _staged_query(
     [("ngram_sets", dedup.ngram_sets_sql)],
     lambda d: textops.contamination_sql(d, sets_rel="ngram_sets"),

@@ -176,3 +176,21 @@ def test_repetition_and_gopher_gate_semantics(duck):
     assert not spam_row["dup_line_ok"] and not spam_row["dup_shingle_ok"]
     assert not spam_row["gopher_pass"]
     assert norm_row["gopher_pass"], norm_row
+
+
+def test_pii_scan_counts_and_clean_hash(duck):
+    from slog_agent_spark.functions.dialect import DUCKDB
+    from slog_agent_spark.operators.textops import pii_scan_sql
+
+    rows = [
+        (0, "contact a@b.com or c.d@e-f.org today"),
+        (1, "no addresses here at all"),
+    ]
+    vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    sql = pii_scan_sql(DUCKDB, rel=f"(VALUES {vals}) docs(doc_id, text)")
+    got = {r[0]: r for r in duck.execute(sql).fetchall()}
+    assert got[0][1] == 2 and got[0][2] is True
+    assert got[1][1] == 0 and got[1][2] is False
+    import hashlib
+    clean = "contact REDACTED or REDACTED today"
+    assert got[0][3] == hashlib.md5(clean.encode()).hexdigest()
