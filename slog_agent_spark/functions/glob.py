@@ -72,7 +72,11 @@ def glob_to_regex(pattern: str, anchored: bool = True) -> str:
     if depth_alt != 0:
         raise ValueError(f"unbalanced '{{' in glob: {pattern!r}")
     body = "".join(out)
-    return f"^{body}$" if anchored else body
+    # (?s): the reference compiles globs with NO separator chars, so
+    # '*'/'?' match across newlines (gobwas/glob semantics) — without
+    # DOTALL the regex path would disagree with both the reference and
+    # the positional glob_to_predicate path on multiline field values
+    return f"(?s)^{body}$" if anchored else f"(?s){body}"
 
 
 # ---------------------------------------------------------------------------

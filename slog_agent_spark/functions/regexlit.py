@@ -96,8 +96,27 @@ def required_literal(pattern: str, min_len: int = 4) -> str | None:
             continue
         if c == "(":
             flush()
-            stack.append([[], False])
-            i += 1
+            if plain[i + 1 : i + 2] == "?":
+                if plain[i + 2 : i + 3] == ":":
+                    # non-capturing group: contents required; skip '?:'
+                    stack.append([[], False])
+                    i += 3
+                    continue
+                j = i + 2
+                while j < n and plain[j] in "aiLmsux-":
+                    j += 1
+                if j > i + 2 and plain[j : j + 1] == ")":
+                    # global inline flags like (?i): matching semantics
+                    # of the WHOLE pattern change — no literal is safe
+                    return None
+                # lookaround / scoped flags / other (?...) construct:
+                # contents are assertions or modifiers, never required
+                # literal text of the match — collect nothing from them
+                stack.append([[], True])
+                i += 2
+            else:
+                stack.append([[], False])
+                i += 1
             continue
         if c == ")":
             flush()

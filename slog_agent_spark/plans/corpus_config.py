@@ -77,9 +77,15 @@ class CorpusParams:
             "must be in (0, 1]",
         )
         _require(self.ngram_df_cap >= 2, f"{p}.ngramDfCap", "must be >= 2")
+        _require(self.simhash_bands > 0, f"{p}.simhashBands",
+                 "must be positive")
         _require(
-            self.simhash_band_bits % 4 == 0, f"{p}.simhashBandBits",
-            "must be a multiple of 4 (md5 hex-digit construction)",
+            self.simhash_band_bits > 0
+            and self.simhash_band_bits % 4 == 0,
+            f"{p}.simhashBandBits",
+            "must be a positive multiple of 4 (md5 hex-digit "
+            "construction; 0 bits would give every document an empty "
+            "band key and an O(n^2) band join)",
         )
         _require(
             self.simhash_bands * self.simhash_band_bits <= 128,

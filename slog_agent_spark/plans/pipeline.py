@@ -37,7 +37,6 @@ from .config import (
     ORCHESTRATION_TAG,
     SCHEMA_FIELDS,
     TRANSFORMATIONS,
-    PipelineConfig,
 )
 from .yaml_config import PipelineConfig
 

@@ -21,6 +21,16 @@ def iceberg_catalog() -> str | None:
     return os.environ.get("SLOG_ICEBERG_CATALOG") or None
 
 
+def _is_table_identifier(location: str) -> bool:
+    """Catalog table identifiers (``db.table``) never contain path
+    separators; filesystem/URI locations do. With SLOG_ICEBERG_CATALOG
+    set, a caller passing a PATH (e.g. the resumable checkpointer's
+    sink root from jobs/run_pipeline.py --output) still gets the
+    parquet route — interpolating a path into ``writeTo`` would build
+    an invalid multi-part identifier and kill the job at first write."""
+    return "/" not in location and "\\" not in location and ":" not in location
+
+
 def write_table(
     df: DataFrame,
     location: str,
@@ -44,7 +54,7 @@ def write_table(
     (tests/test_writers.py) and everything else uses the parquet path.
     """
     cat = iceberg_catalog()
-    if cat:
+    if cat and _is_table_identifier(location):
         writer = df.writeTo(f"{cat}.{location}")
         if partition_by:
             from pyspark.sql import functions as F
@@ -70,6 +80,6 @@ def write_table(
 
 def read_table(spark: SparkSession, location: str) -> DataFrame:
     cat = iceberg_catalog()
-    if cat:
+    if cat and _is_table_identifier(location):
         return spark.read.table(f"{cat}.{location}")
     return spark.read.parquet(location)

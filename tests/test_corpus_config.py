@@ -127,3 +127,15 @@ def test_cc_groups_params_are_live(spark, duck, sf_dir):
     run, oracle = build_corpus_queries(params)["dedup_groups_cc"]
     df = run(spark, sf_dir)
     assert_df_equals_oracle(df, duck, oracle())
+
+
+@pytest.mark.parametrize(
+    "yml,expect",
+    [
+        ("corpus: {simhashBandBits: 0}", "positive multiple of 4"),
+        ("corpus: {simhashBands: 0}", "simhashBands"),
+    ],
+)
+def test_degenerate_simhash_sizing_rejected(yml, expect):
+    with pytest.raises(ConfigError, match=expect):
+        parse_corpus_config(yml)

@@ -362,3 +362,17 @@ def test_unescape_gated_by_flag(spark, duck):
     )
     assert out[0]["log"] == "line1\nline2\tend"
     assert out[1]["log"] == r"raw\nkept"  # already-unescaped input skipped
+
+
+def test_required_literal_regex_constructs():
+    """(?: prefix, lookarounds and inline flags must never leak into the
+    required-literal precheck (round-3 review finding: ':abcde' from
+    '(?:abcde)f' silently disabled matching rows)."""
+    from slog_agent_spark.functions.regexlit import required_literal
+
+    assert required_literal("(?:abcde)f") == "abcde"
+    assert required_literal("(?i)abcdef") is None          # global flags
+    assert required_literal("(?i:abcdef)xyz") is None      # scoped flags
+    assert required_literal("(?=look)mainpart") == "mainpart"
+    assert required_literal("(?<=behind)afterpart") == "afterpart"
+    assert required_literal("foo(?:bar)baz") is None       # runs don't merge

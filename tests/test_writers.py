@@ -121,9 +121,9 @@ def test_iceberg_read_routing(spark, iceberg_stub, monkeypatch):
 
 
 def test_resumable_sink_commits_through_iceberg_path(spark, sf_dir, iceberg_stub):
-    """End-to-end: the checkpointer's single partitioned write routes
-    through overwritePartitions, and manifests (the ACK) commit only
-    after the write returns."""
+    """End-to-end: a checkpointer rooted at a TABLE IDENTIFIER routes
+    its single partitioned write through overwritePartitions, and
+    manifests (the ACK) commit only after the write returns."""
     from slog_agent_spark.plans import pipeline as P
     from slog_agent_spark.plans.checkpoint import (
         SinkCheckpointer,
@@ -133,14 +133,28 @@ def test_resumable_sink_commits_through_iceberg_path(spark, sf_dir, iceberg_stub
     tf = P.transformed_df(spark, sf_dir)
     with tempfile.TemporaryDirectory() as root:
         ckpt = SinkCheckpointer(
-            os.path.join(root, "db.sink"), "cfg", "fp",
+            "db.sink", "cfg", "fp",
             manifest_dir=os.path.join(root, "m"),
         )
         written = write_sinks_resumable(tf, ckpt)
         assert written  # every tag pending on first run
         assert [c[2] for c in iceberg_stub] == ["overwritePartitions"]
-        assert iceberg_stub[0][0].startswith("ice.")
+        assert iceberg_stub[0][0] == "ice.db.sink"
         assert iceberg_stub[0][1] == ["Column<'tag'>"]
         # the ACKs landed: a rerun has nothing pending (no second write)
         assert write_sinks_resumable(tf, ckpt) == {}
         assert len(iceberg_stub) == 1
+
+
+def test_path_location_never_hits_the_catalog(spark, iceberg_stub):
+    """With the env knob set, a filesystem PATH location still takes
+    the parquet route — interpolating a path into writeTo would build
+    an invalid multi-part identifier and kill the job (round-3 review
+    finding)."""
+    with tempfile.TemporaryDirectory() as root:
+        loc = os.path.join(root, "t")
+        writers.write_table(
+            _df(spark), loc, partition_by=["tag"], mode="overwrite_partitions"
+        )
+        assert iceberg_stub == []  # stubbed writeTo never invoked
+        assert writers.read_table(spark, loc).count() == 2  # parquet route
