@@ -67,6 +67,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             P.conversation_reassembly_df(spark, sf)
         ),
         "conversation_sessions": P.conversation_sessions_df,
+        "conversation_dedup": lambda spark, sf: _cast_counts_long(
+            P.conversation_dedup_df(spark, sf)
+        ),
         "pipeline_team_enrich": P.team_enrich_rollup_df,
         "keyset_length_stats": P.keyset_length_stats_df,
         "sink_serialized_events": lambda spark, sf: P.serialized_events_df(spark, sf),
@@ -148,6 +151,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_input_counters": P.input_counters_oracle_sql(),
         "conversation_reassembly": P.conversation_reassembly_oracle_sql(),
         "conversation_sessions": P.conversation_sessions_oracle_sql(),
+        "conversation_dedup": P.conversation_dedup_oracle_sql(),
         "pipeline_team_enrich": P.team_enrich_rollup_oracle_sql(),
         "keyset_length_stats": P.keyset_length_stats_oracle_sql(),
         "sink_serialized_events": P.serialized_events_oracle_sql(),

@@ -304,6 +304,56 @@ def conversation_reassembly_oracle_sql() -> str:
     )
 
 
+def conversation_dedup_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level exact dedup: hash each conversation's full
+    passed-turn text IN TURN ORDER and group identical conversations —
+    the transcript-side "dedup whole dialogues before training" pass
+    (turn-permuted conversations hash differently by construction;
+    orderless hashing would silently merge them).
+
+    Scale shape: one groupBy(conv_id) building the ordered digest
+    (sort inside the aggregate — never trusting shuffle order), then a
+    groupBy on the digest; both map-side partial, no O(n²) anywhere.
+    """
+    return conversation_dedup_from(transformed_df(spark, sf_dir))
+
+
+def conversation_dedup_from(transformed: DataFrame) -> DataFrame:
+    """The digest + grouping over any transformed-shaped frame
+    (conv_id, turn_idx, log, dropped) — split out so tests can feed
+    synthetic duplicate/permuted conversations."""
+    digests = transformed.groupBy("conv_id").agg(
+        F.expr(
+            "md5(array_join(transform(array_sort(collect_list("
+            "  CASE WHEN NOT dropped THEN struct(turn_idx, log) END)), "
+            "s -> s.log), '\\n'))"
+        ).alias("conv_hash"),
+        F.sum(F.when(~F.col("dropped"), 1).otherwise(0)).alias("n_passed"),
+    )
+    return digests.groupBy("conv_hash").agg(
+        F.min("conv_id").alias("keep_conv_id"),
+        F.count("*").alias("group_size"),
+        F.max("n_passed").cast("long").alias("n_passed"),
+    )
+
+
+def conversation_dedup_oracle_sql() -> str:
+    return (
+        transformed_oracle_cte()
+        + """, digests AS (
+          SELECT conv_id,
+                 md5(coalesce(string_agg(CASE WHEN NOT dropped THEN log END,
+                       chr(10) ORDER BY turn_idx), '')) AS conv_hash,
+                 CAST(sum(CASE WHEN NOT dropped THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_passed
+          FROM transformed GROUP BY conv_id)
+        SELECT conv_hash, min(conv_id) AS keep_conv_id,
+               count(*) AS group_size,
+               CAST(max(n_passed) AS BIGINT) AS n_passed
+        FROM digests GROUP BY conv_hash"""
+    )
+
+
 def serialized_events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row serialized events for BOTH configured outputs.
 

@@ -147,3 +147,28 @@ def test_sessionize_gap_bounds(spark, sf_dir):
         .agg(F.sum("n_turns").alias("s")).collect()[0]["s"]
     )
     assert per_turn == n_turns
+
+
+def test_conversation_dedup_groups_and_order_sensitivity(spark):
+    """Identical conversations (same turns, same order) group; a
+    TURN-PERMUTED copy hashes differently (orderless hashing would
+    silently merge it); dropped turns don't contribute."""
+    from slog_agent_spark.plans.pipeline import conversation_dedup_from
+
+    rows = [
+        # c1 and c2: identical two-turn conversations
+        ("c1", 0, "hello", False), ("c1", 1, "world", False),
+        ("c2", 0, "hello", False), ("c2", 1, "world", False),
+        # c3: same turns, swapped order -> different conversation
+        ("c3", 0, "world", False), ("c3", 1, "hello", False),
+        # c4: equals c1 once its dropped turn is ignored
+        ("c4", 0, "hello", False), ("c4", 1, "world", False),
+        ("c4", 2, "SPAM", True),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "log", "dropped"])
+    got = {r["conv_hash"]: r for r in conversation_dedup_from(df).collect()}
+    assert len(got) == 2
+    sizes = sorted(r["group_size"] for r in got.values())
+    assert sizes == [1, 3]  # {c1, c2, c4} vs {c3}
+    big = next(r for r in got.values() if r["group_size"] == 3)
+    assert big["keep_conv_id"] == "c1" and big["n_passed"] == 2
