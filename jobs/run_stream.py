@@ -12,6 +12,8 @@ Modes (all watermarked, all resume from --checkpoint):
     pipeline   full parse→transform→route through foreachBatch, per-tag
                parquet sinks (exactly-once via checkpoint + idempotent
                batch overwrites)
+    wire       full pipeline with REAL fluentd forward-protocol output:
+               msgpack events in gzip chunks per (batch, tag)
     sessions   per-conversation gap sessionization (session_window)
     dedup      at-least-once redelivery guard
                (dropDuplicatesWithinWatermark on conv_id/turn_idx)
@@ -34,7 +36,8 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--mode", default="pipeline",
-                    choices=["pipeline", "sessions", "dedup", "counters"])
+                    choices=["pipeline", "wire", "sessions", "dedup",
+                             "counters"])
     ap.add_argument("--drain", action="store_true",
                     help="availableNow trigger: drain existing input, exit")
     args = ap.parse_args(argv)
@@ -47,6 +50,12 @@ def main(argv: list[str]) -> int:
         if args.mode == "pipeline":
             # has its own foreachBatch writer + availableNow drain
             S.run_stream_pipeline(
+                spark, args.input, args.output, args.checkpoint
+            )
+            return 0
+        if args.mode == "wire":
+            # fluentd CompressedPackedForward chunks per (batch, tag)
+            S.run_stream_wire_sink(
                 spark, args.input, args.output, args.checkpoint
             )
             return 0

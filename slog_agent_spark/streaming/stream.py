@@ -212,3 +212,38 @@ def dedup_stream(
     return transcripts_stream.withWatermark(
         "ts", watermark
     ).dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+
+
+def run_stream_wire_sink(
+    spark: SparkSession,
+    input_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    max_records: int = 0,
+) -> None:
+    """Continuous pipeline with REAL fluentd wire output: each
+    micro-batch runs the full transform chain, serializes events, and
+    writes CompressedPackedForward chunks per tag under
+    ``<sink>/batch=<id>/<tag>/<chunk_id>.chunk`` — the streaming twin of
+    the reference agent's actual output path (TCP in → transform →
+    msgpack/gzip chunks out). Exactly-once per chunk directory follows
+    from the batch-id keyed layout + the streaming checkpoint (a
+    replayed batch overwrites its own directory, never another's)."""
+    from ..plans.pipeline import events_for_outputs, transform_transcripts
+    from ..sinks.fluentd_wire import write_wire_chunks
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ev = events_for_outputs(transform_transcripts(batch_df))
+        ev = ev.withColumnRenamed("customFluentd_event", "fluentd_event")
+        write_wire_chunks(
+            ev, f"{sink_dir}/batch={batch_id}", max_records=max_records
+        )
+
+    q = (
+        stream_transcripts(spark, input_dir)
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -168,3 +168,30 @@ def test_streaming_dedup_equals_batch(spark, sf_dir):
         assert spark.read.parquet(tdir).count() == 2 * n_batch
         assert got.count() == n_batch
         assert got.select("conv_id", "turn_idx").distinct().count() == n_batch
+
+
+def test_streaming_wire_sink_chunks_decode(spark, sf_dir):
+    """Drained wire-chunk sink: every passed row lands in exactly one
+    decodable fluentd chunk, grouped per (batch, tag)."""
+    import glob as globmod
+
+    from slog_agent_spark.sinks.fluentd_wire import decode_chunk
+    from slog_agent_spark.streaming.stream import run_stream_wire_sink
+
+    with tempfile.TemporaryDirectory() as work:
+        tdir = f"{work}/transcripts"
+        transcripts_df(spark, sf_dir).write.parquet(tdir)
+        run_stream_wire_sink(spark, tdir, f"{work}/sink", f"{work}/ckpt",
+                             max_records=100)
+        files = globmod.glob(f"{work}/sink/batch=*/*/*.chunk")
+        assert files
+        total = 0
+        for f in files:
+            with open(f, "rb") as fh:
+                tag, events, option = decode_chunk(fh.read())
+            assert option["size"] <= 100 and option["compressed"] == "gzip"
+            total += len(events)
+        expected = transform_transcripts(
+            spark.read.parquet(tdir)
+        ).where("NOT dropped").count()
+        assert total == expected
