@@ -62,6 +62,16 @@ class SqlDialect:
     def regexp_extract(self, col: str, pattern: str, group: int) -> str:
         return f"regexp_extract({col}, {self.lit(pattern)}, {group})"
 
+    def regexp_count(self, col: str, pattern: str) -> str:
+        """Number of non-overlapping matches of ``pattern`` in col.
+
+        Pattern goes through ``lit()`` — a bare f-string interpolation
+        would be silently corrupted by Spark's literal escape processing
+        the moment the pattern grows a backslash (round-3 ADVICE)."""
+        if self.name == self.SPARK:
+            return f"size(regexp_extract_all({col}, {self.lit(pattern)}, 0))"
+        return f"len(regexp_extract_all({col}, {self.lit(pattern)}))"
+
     def regexp_replace_all(self, col: str, pattern: str, replacement: str) -> str:
         """Replace ALL matches (Spark is global-only; DuckDB needs 'g').
 

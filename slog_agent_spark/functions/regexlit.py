@@ -61,6 +61,14 @@ def required_literal(pattern: str, min_len: int = 4) -> str | None:
     plain, _ = named_groups_to_plain(pattern)
     n = len(plain)
     i = 0
+
+    def quant_end(pos: int) -> int | None:
+        """End index past a valid ``{m}``/``{m,}``/``{m,n}`` quantifier
+        starting at ``pos``, else None (the brace is then a literal char
+        in RE2/DuckDB and must NOT swallow following structure)."""
+        m = re.match(r"\{\d+(?:,\d*)?\}", plain[pos:])
+        return pos + m.end() if m else None
+
     # stack of [runs, alternated?] frames; frame 0 is depth 0
     stack: list[list] = [[[], False]]
     cur = ""
@@ -90,9 +98,12 @@ def required_literal(pattern: str, min_len: int = 4) -> str | None:
             continue
         if c == "{":
             flush()
-            while i < n and plain[i] != "}":
-                i += 1
-            i += 1
+            qe = quant_end(i)
+            # Literal brace (no valid quantifier body): a plain,
+            # non-contributing char — do NOT skip ahead, or a '|' or
+            # group inside the skipped span would be silently swallowed
+            # and a non-required "literal" returned (silent row loss).
+            i = qe if qe is not None else i + 1
             continue
         if c == "(":
             flush()
@@ -122,7 +133,10 @@ def required_literal(pattern: str, min_len: int = 4) -> str | None:
             flush()
             runs, alternated = stack.pop() if len(stack) > 1 else ([], False)
             nxt = plain[i + 1] if i + 1 < n else ""
-            if not alternated and not (nxt and nxt in "?*{"):
+            quantified = (nxt and nxt in "?*") or (
+                nxt == "{" and quant_end(i + 1) is not None
+            )
+            if not alternated and not quantified:
                 stack[-1][0].extend(runs)  # non-quantified group: required
             i += 1
             continue
@@ -139,7 +153,7 @@ def required_literal(pattern: str, min_len: int = 4) -> str | None:
             i += 1
             continue
         nxt = plain[i + 1] if i + 1 < n else ""
-        if nxt and nxt in "?*{":
+        if (nxt and nxt in "?*") or (nxt == "{" and quant_end(i + 1) is not None):
             flush()
             i += 1
             continue

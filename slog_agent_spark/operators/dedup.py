@@ -573,7 +573,13 @@ def corpus_retention_sql(
 
 
 # -- transitive duplicate groups (connected components) ----------------------
+# Fixed round budget for the single-SQL DuckDB oracle form (exact iff the
+# data's components reach fixpoint within it — asserted on the fixture).
 CC_ITERS = 5
+# Safety cap for the convergence-checked Spark runner: propagation
+# distance doubles nowhere (1 hop/round), but real duplicate-chain
+# diameters are short; exceeding this raises rather than under-merging.
+CC_MAX_ITERS = 50
 
 
 def cc_edges_sql(d: SqlDialect, pairs_rel: str) -> str:

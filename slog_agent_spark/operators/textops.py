@@ -368,33 +368,69 @@ def gopher_flags_sql(d: SqlDialect, rel: str = "documents") -> str:
 
 # -- PII scan / redaction over the corpus ------------------------------------
 
+# Rule classes beyond the reference's redactEmail (transform/redact.go has
+# only the email rule; an LLM-corpus pipeline needs the usual classes).
+# Every pattern is Java-regex ∩ RE2 so Spark and DuckDB agree
+# char-for-char; every pattern is interpolated via d.lit(), never bare.
+# (name, pattern, precheck-needles-ORed-or-None)
+PII_RULES: list[tuple[str, str, list[str] | None]] = [
+    # reference parity: operators/transforms.REDACT_EMAIL_RE
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9][A-Za-z0-9.-]*", ["@"]),
+    # +1-555-123-4567 / (555) 123 4567 / 555.123.4567 — separators
+    # required so plain digit runs (ids, counters) don't match
+    ("phones", r"\+?\d{0,2}[ .-]?\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}", None),
+    # dotted-quad; \b keeps version strings like 1.2.3.4567 out
+    ("ips", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", ["."]),
+    # credential-shaped assignments: api_key=..., password: ..., etc.
+    (
+        "keys",
+        r"(?i)\b(api[_-]?key|secret|token|password|passwd|bearer|"
+        r"access[_-]?key)\b\s*[=:]\s*[A-Za-z0-9/+_.-]{8,}",
+        ["=", ":"],
+    ),
+]
+
+
 def pii_scan_sql(d: SqlDialect, rel: str = "documents") -> str:
-    """Per-document PII (email) scan + redacted text: the corpus-side
-    twin of the pipeline's redactEmail transform (same pattern,
-    operators/transforms.REDACT_EMAIL_RE — Java-regex ∩ RE2 so both
-    engines agree char-for-char). Output carries the match count, a
-    redaction flag, and the md5 of the CLEANED text (the dedup-ready
-    content hash — dedup after redaction, or two docs differing only in
-    embedded emails stay distinct forever).
+    """Per-document PII scan + redacted text over the rule classes in
+    ``PII_RULES`` — the corpus-side superset of the pipeline's
+    redactEmail transform (ref: transform/redact.go; the email pattern
+    is shared with operators/transforms.REDACT_EMAIL_RE). Output carries
+    one match-count column per class, a composite ``redacted`` flag, and
+    the md5 of the CLEANED text with ALL classes redacted in rule order
+    (the dedup-ready content hash — dedup after redaction, or two docs
+    differing only in embedded PII stay distinct forever).
 
-    Scale shape: per-row projection, whole-stage codegen; the
-    contains('@') precheck skips the regex for the (majority) rows that
-    cannot contain an email.
+    Scale shape: per-row projection, whole-stage codegen; classes with a
+    required literal (``@`` for email, ``.`` for IPs, ``=``/``:`` for
+    keys) sit behind a ``contains()`` precheck so the majority of rows
+    skip the regex entirely.
     """
-    from .transforms import REDACT_EMAIL_RE, REDACT_REPLACEMENT
+    from .transforms import REDACT_REPLACEMENT
 
-    if d.name == d.SPARK:
-        n = f"size(regexp_extract_all(text, '{REDACT_EMAIL_RE}', 0))"
-    else:
-        n = f"len(regexp_extract_all(text, '{REDACT_EMAIL_RE}'))"
-    clean = d.regexp_replace_all("text", REDACT_EMAIL_RE, REDACT_REPLACEMENT)
-    gate = d.contains("text", "@")
+    count_cols = []
+    clean = "text"
+    flags = []
+    for name, pattern, needles in PII_RULES:
+        n = d.regexp_count("text", pattern)
+        if needles:
+            gate = " OR ".join(d.contains("text", x) for x in needles)
+            n = f"(CASE WHEN {gate} THEN {n} ELSE 0 END)"
+        count_cols.append(f"CAST({n} AS INT) AS n_{name}")
+        flags.append(f"n_{name} > 0")
+        clean = d.regexp_replace_all(clean, pattern, REDACT_REPLACEMENT)
+    counts = ",\n           ".join(count_cols)
     return f"""
-    SELECT doc_id,
-           CAST(CASE WHEN {gate} THEN {n} ELSE 0 END AS INT) AS n_emails,
-           (CASE WHEN {gate} THEN {n} ELSE 0 END) > 0 AS redacted,
-           md5(CASE WHEN {gate} THEN {clean} ELSE text END) AS clean_hash
-    FROM {rel}
+    WITH scanned AS (
+      SELECT doc_id,
+             {counts},
+             md5({clean}) AS clean_hash
+      FROM {rel}
+    )
+    SELECT doc_id, {", ".join(f"n_{name}" for name, _, _ in PII_RULES)},
+           ({" OR ".join(flags)}) AS redacted,
+           clean_hash
+    FROM scanned
     """
 
 

@@ -322,11 +322,15 @@ def conversation_dedup_from(transformed: DataFrame) -> DataFrame:
     """The digest + grouping over any transformed-shaped frame
     (conv_id, turn_idx, log, dropped) — split out so tests can feed
     synthetic duplicate/permuted conversations."""
+    # Each turn is hashed BEFORE joining: the per-turn digests are fixed
+    # width, so a turn containing a real newline (post-unescape) cannot
+    # collide with two separate turns — md5("a\nb") joined vs
+    # md5("a")+md5("b") joined differ by construction (round-3 ADVICE).
     digests = transformed.groupBy("conv_id").agg(
         F.expr(
             "md5(array_join(transform(array_sort(collect_list("
             "  CASE WHEN NOT dropped THEN struct(turn_idx, log) END)), "
-            "s -> s.log), '\\n'))"
+            "s -> md5(s.log)), ''))"
         ).alias("conv_hash"),
         F.sum(F.when(~F.col("dropped"), 1).otherwise(0)).alias("n_passed"),
     )
@@ -342,8 +346,8 @@ def conversation_dedup_oracle_sql() -> str:
         transformed_oracle_cte()
         + """, digests AS (
           SELECT conv_id,
-                 md5(coalesce(string_agg(CASE WHEN NOT dropped THEN log END,
-                       chr(10) ORDER BY turn_idx), '')) AS conv_hash,
+                 md5(coalesce(string_agg(CASE WHEN NOT dropped THEN md5(log) END,
+                       '' ORDER BY turn_idx), '')) AS conv_hash,
                  CAST(sum(CASE WHEN NOT dropped THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_passed
           FROM transformed GROUP BY conv_id)

@@ -37,9 +37,13 @@ def chunk_events(
     """Stream serialized JSON events into gzip array chunks.
 
     Yields ``(chunk_id, chunk_bytes, n_records, n_raw_bytes)`` where
-    ``n_raw_bytes`` is the uncompressed array size the caps are
-    measured against (opening bracket + records + commas + closing
-    bracket, mirroring chunk.go's numBytes accounting).
+    ``n_raw_bytes`` mirrors chunk.go's numBytes accounting EXACTLY:
+    opening bracket + one delimiter per record INCLUDING the first
+    (chunk.go:66 adds len(recordDelimiter) on every Write, even though
+    no comma is emitted before record 0) + record bytes + closing
+    bracket — so it over-counts the actual array body by one byte per
+    chunk, and flush boundaries land where the reference's
+    CanAppendData (numBytes + dataLength + len("]")) puts them.
     """
     idgen = idgen or ChunkIDGenerator()
     buf: list[str] = []
@@ -61,19 +65,17 @@ def chunk_events(
 
     for ev in event_jsons:
         data_len = len(ev.encode("utf-8"))
-        delim = 1 if buf else 0
         over_records = max_records > 0 and len(buf) >= max_records
         over_bytes = (
             max_bytes > 0 and buf
-            and n_raw + delim + data_len + 1 > max_bytes
+            and n_raw + data_len + 1 > max_bytes
         )
         if over_records or over_bytes:
             done = flush()
             if done:
                 yield done
-            delim = 0
         buf.append(ev)
-        n_raw += delim + data_len
+        n_raw += 1 + data_len  # delimiter counted for EVERY record
     done = flush()
     if done:
         yield done
@@ -90,26 +92,37 @@ def write_wire_chunks(
     event_col: str = "datadog_event",
     max_bytes: int = MAX_CHUNK_BYTES,
     max_records: int = MAX_CHUNK_RECORDS,
+    salts: int = 1,
+    base_nano: int | None = None,
 ) -> None:
-    """Write Datadog wire chunks per tag: ``<out>/<tag>/<id>.json.gz``,
-    events in (conv_id, turn_idx) FIFO order within the tag (same shape
-    as the fluentd wire writer — per-tag groups, embarrassingly
-    parallel)."""
+    """Write Datadog wire chunks: ``<out>/<tag>/<id>.json.gz``, events
+    in (conv_id, turn_idx) FIFO order within each (tag, salt) group —
+    same transactional shape as the fluentd wire writer: deterministic
+    chunk IDs (shared ``base_nano`` across task attempts), atomic
+    write-then-rename, and ``salts`` sub-chunkers per hot tag with the
+    reference's ID-suffix convention."""
     import os
+    import time
 
     import pandas as pd
 
-    def run_tag(pdf: pd.DataFrame) -> pd.DataFrame:
+    from .fluentd_wire import atomic_write, deterministic_idgen, salt_column
+
+    if base_nano is None:
+        base_nano = time.time_ns()
+
+    def run_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tag, salt = key
         pdf = pdf.sort_values(["conv_id", "turn_idx"])
-        tag = pdf["tag"].iloc[0]
         tag_dir = os.path.join(out_dir, tag.replace("/", "_"))
         os.makedirs(tag_dir, exist_ok=True)
+        idgen = deterministic_idgen(base_nano, salt, salts)
         rows = []
         for cid, chunk, n_rec, n_raw in chunk_events(
-            pdf[event_col], max_bytes=max_bytes, max_records=max_records
+            pdf[event_col], max_bytes=max_bytes, max_records=max_records,
+            idgen=idgen,
         ):
-            with open(os.path.join(tag_dir, f"{cid}.json.gz"), "wb") as fh:
-                fh.write(chunk)
+            atomic_write(os.path.join(tag_dir, f"{cid}.json.gz"), chunk)
             rows.append((tag, cid, n_rec, n_raw, len(chunk)))
         return pd.DataFrame(
             rows,
@@ -118,9 +131,10 @@ def write_wire_chunks(
 
     (
         events_df.select("tag", "conv_id", "turn_idx", event_col)
-        .groupBy("tag")
+        .withColumn("salt", salt_column(salts))
+        .groupBy("tag", "salt")
         .applyInPandas(
-            run_tag,
+            run_group,
             "tag string, chunk_id string, records long, raw_bytes long, "
             "chunk_bytes long",
         )

@@ -26,10 +26,12 @@ wire bytes inherit that parity. A minimal msgpack codec is inlined
 because the sandbox ships no msgpack wheel; the decoder exists so tests
 can round-trip chunks back to the golden event list.
 
-Scale shape: chunking is per-sink-partition (per tag), embarrassingly
-parallel — the Spark writer groups by tag and streams each group
-through one chunker (applyInPandas), writing ``<out>/<tag>/<id>.chunk``
-files. No driver-side loops.
+Scale shape: chunking is per (tag, salt) group, embarrassingly
+parallel — the Spark writer groups by tag (sub-split by conversation
+hash for hot tags) and streams each group through one chunker
+(applyInPandas), writing ``<out>/<tag>/<id>.chunk`` files with
+deterministic IDs via atomic rename, so task retries and batch replays
+overwrite instead of duplicating. No driver-side loops.
 """
 
 from __future__ import annotations
@@ -344,8 +346,51 @@ def decode_chunk(data: bytes) -> tuple[str, list, dict]:
 
 
 # ---------------------------------------------------------------------------
-# Spark writer: per-tag chunk files
+# Spark writer: per-(tag, salt) chunk files, transactional
 # ---------------------------------------------------------------------------
+
+def atomic_write(path: str, data: bytes) -> None:
+    """Write-temp-then-rename so a file either exists complete or not at
+    all — a killed task never leaves a half-written chunk under the
+    final name, and a retried task atomically replaces its own output.
+    The temp name is hidden (dot-prefixed) so readers globbing
+    ``*.chunk`` never see in-flight files."""
+    import os
+
+    tmp = os.path.join(
+        os.path.dirname(path), f".tmp.{os.path.basename(path)}.{os.getpid()}"
+    )
+    with open(tmp, "wb") as fh:
+        fh.write(data)
+    os.replace(tmp, path)
+
+
+def salt_column(salts: int):
+    """Deterministic sub-split of a tag by conversation: a conversation
+    maps to exactly one salt, so per-conversation FIFO survives the
+    split (cross-conversation order within a tag was never part of the
+    orchestrator's guarantee — FIFO is per key, ref: base/
+    orchestrator design in SURVEY §2.6)."""
+    from pyspark.sql import functions as F
+
+    if salts <= 1:
+        return F.lit(0)
+    return F.pmod(F.xxhash64("conv_id"), F.lit(salts)).cast("int")
+
+
+def deterministic_idgen(base_nano: int, salt: int, salts: int) -> ChunkIDGenerator:
+    """Chunk IDs that are a pure function of (job base, salt, ordinal):
+    the generator's clock is pinned to ``base_nano`` so the k-th chunk
+    of a (tag, salt) group is always ``%019d-%08d[-sNNNN]`` with
+    sequence k — a retried or speculative task regenerates IDENTICAL
+    names and overwrites, instead of minting a second uniquely-named
+    set (the round-3 non-transactional-sink finding). The per-salt
+    suffix is the reference's shared-queue-dir convention (ref:
+    output/shared/chunkidgen.go:27-39 — the suffix field exists so
+    several generators can share one directory without collisions)."""
+    suffix = f"-s{salt:04d}" if salts > 1 else ""
+    return ChunkIDGenerator(suffix=suffix, clock=lambda: base_nano)
+
 
 def write_wire_chunks(
     events_df,
@@ -353,29 +398,44 @@ def write_wire_chunks(
     event_col: str = "fluentd_event",
     max_bytes: int = MAX_CHUNK_BYTES,
     max_records: int = 0,
+    salts: int = 1,
+    base_nano: int | None = None,
 ) -> None:
-    """Write fluentd wire chunks per tag: ``<out>/<tag>/<id>.chunk``.
+    """Write fluentd wire chunks: ``<out>/<tag>/<id>.chunk``, events in
+    (conv_id, turn_idx) FIFO order within each (tag, salt) group.
 
-    One chunker per tag group (applyInPandas), events in (conv_id,
-    turn_idx) FIFO order within the tag — the per-sink ordering the
-    byKeySet orchestrator guarantees. At cluster scale ``out_dir`` is
-    shared storage and each task writes only its own tag's files.
+    Transactional: chunk IDs are deterministic (``deterministic_idgen``
+    — ``base_nano`` is captured ONCE driver-side and shared by every
+    task attempt; streaming callers pass the batch_id) and files go
+    through ``atomic_write``, so retries/speculation/replays overwrite
+    byte-for-byte — no orphan or duplicate chunks.
+
+    Hot tags: ``salts`` sub-splits each tag by conversation hash —
+    ``salts`` independent chunker tasks per tag (the round-3 finding
+    that a Zipf-hot tag funneled through ONE Python task), each with
+    its own ID suffix per the reference's shared-queue-dir convention.
+    At cluster scale ``out_dir`` is shared storage and each task writes
+    only its own (tag, salt) files.
     """
     import os
 
     import pandas as pd
 
-    def run_tag(pdf: pd.DataFrame) -> pd.DataFrame:
+    if base_nano is None:
+        base_nano = time.time_ns()
+
+    def run_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tag, salt = key
         pdf = pdf.sort_values(["conv_id", "turn_idx"])
-        tag = pdf["tag"].iloc[0]
         tag_dir = os.path.join(out_dir, tag.replace("/", "_"))
         os.makedirs(tag_dir, exist_ok=True)
+        idgen = deterministic_idgen(base_nano, salt, salts)
         rows = []
         for cid, chunk, n_rec, n_raw in chunk_events(
-            tag, pdf[event_col], max_bytes=max_bytes, max_records=max_records
+            tag, pdf[event_col], max_bytes=max_bytes,
+            max_records=max_records, idgen=idgen,
         ):
-            with open(os.path.join(tag_dir, f"{cid}.chunk"), "wb") as fh:
-                fh.write(chunk)
+            atomic_write(os.path.join(tag_dir, f"{cid}.chunk"), chunk)
             rows.append((tag, cid, n_rec, n_raw, len(chunk)))
         return pd.DataFrame(
             rows,
@@ -384,9 +444,10 @@ def write_wire_chunks(
 
     (
         events_df.select("tag", "conv_id", "turn_idx", event_col)
-        .groupBy("tag")
+        .withColumn("salt", salt_column(salts))
+        .groupBy("tag", "salt")
         .applyInPandas(
-            run_tag,
+            run_group,
             "tag string, chunk_id string, records long, raw_bytes long, "
             "chunk_bytes long",
         )

@@ -124,16 +124,21 @@ def test_length_histogram_buckets_are_integer_exact(duck):
 
 
 def test_dedup_groups_cc_fixpoint_and_transitivity(spark, sf_dir):
-    """The fixed iteration count reaches the true fixpoint on the
-    fixture, components are edge-consistent (both endpoints of every
-    near-dup pair share a group), and the exemplar is the group min."""
+    """The runner converges within the oracle's fixed round budget on
+    the fixture (which is exactly what keeps the fixed-CC_ITERS DuckDB
+    oracle form exact there), components are edge-consistent (both
+    endpoints of every near-dup pair share a group), and the exemplar
+    is the group min."""
     from slog_agent_spark.functions.dialect import SPARK as SD
     from slog_agent_spark.operators import dedup as D
 
     got = {r["doc_id"]: r for r in C.dedup_groups_query(spark, sf_dir).collect()}
+    # would raise if the fixture needed more than CC_ITERS+1 rounds
     more = {
         r["doc_id"]: r["group_id"]
-        for r in C.dedup_groups_query(spark, sf_dir, iters=D.CC_ITERS + 2).collect()
+        for r in C.dedup_groups_query(
+            spark, sf_dir, max_iters=D.CC_ITERS + 1
+        ).collect()
     }
     assert {k: v["group_id"] for k, v in got.items()} == more  # fixpoint
 
@@ -150,6 +155,39 @@ def test_dedup_groups_cc_fixpoint_and_transitivity(spark, sf_dir):
         assert gid == min(members)
         assert all(got[m]["group_size"] == len(members) for m in members)
         assert sum(got[m]["is_exemplar"] for m in members) == 1
+
+
+def test_dedup_groups_cc_converges_on_long_chain(spark):
+    """A duplicate chain longer than the oracle's fixed budget (12 links
+    > CC_ITERS=5) must still merge into ONE component — the round-3
+    finding was that a fixed 5-round propagation silently under-merges
+    any component of diameter > 5; the convergence check keeps going
+    until no label changes."""
+    from slog_agent_spark.operators import dedup as D
+    from slog_agent_spark.plans.corpus import dedup_groups_from_pairs
+
+    chain = [(i, i + 1) for i in range(12)]  # 0-1-2-...-12, diameter 12
+    island = [(100, 101)]
+    pairs = spark.createDataFrame(chain + island, ["doc_a", "doc_b"])
+    got = {r["doc_id"]: r for r in dedup_groups_from_pairs(spark, pairs).collect()}
+    assert {r["group_id"] for d, r in got.items() if d <= 12} == {0}
+    assert got[0]["group_size"] == 13 and got[0]["is_exemplar"]
+    assert got[100]["group_id"] == 100 and got[100]["group_size"] == 2
+    # the fixed-iteration budget really would have under-merged this
+    assert 12 > D.CC_ITERS
+
+
+def test_dedup_groups_cc_cap_raises(spark):
+    """Exceeding max_iters raises instead of returning a silently
+    under-merged cluster table."""
+    import pytest as _pt
+
+    from slog_agent_spark.plans.corpus import dedup_groups_from_pairs
+
+    chain = [(i, i + 1) for i in range(8)]
+    pairs = spark.createDataFrame(chain, ["doc_a", "doc_b"])
+    with _pt.raises(RuntimeError, match="did not converge"):
+        dedup_groups_from_pairs(spark, pairs, max_iters=3)
 
 
 def test_repetition_and_gopher_gate_semantics(duck):
@@ -178,19 +216,57 @@ def test_repetition_and_gopher_gate_semantics(duck):
     assert norm_row["gopher_pass"], norm_row
 
 
+PII_ROWS = [
+    (0, "contact a@b.com or c.d@e-f.org today"),
+    (1, "no addresses here at all"),
+    (2, "call +1-555-123-4567 or (555) 123 4567 now"),
+    (3, "server at 10.0.42.7 answered"),
+    (4, "api_key=abc123XYZ789 leaked in log"),
+    (5, "Password: hunter2secret was rotated"),
+    (6, "version 1.2.3.4567 is fine"),          # not an IP (\b guard)
+    (7, "ratio 12:34 and x=y are fine"),         # precheck hits, regex doesn't
+]
+
+
+def _pii_vals() -> str:
+    return ", ".join(f"({i}, '{t}')" for i, t in PII_ROWS)
+
+
 def test_pii_scan_counts_and_clean_hash(duck):
     from slog_agent_spark.functions.dialect import DUCKDB
     from slog_agent_spark.operators.textops import pii_scan_sql
 
-    rows = [
-        (0, "contact a@b.com or c.d@e-f.org today"),
-        (1, "no addresses here at all"),
-    ]
-    vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
-    sql = pii_scan_sql(DUCKDB, rel=f"(VALUES {vals}) docs(doc_id, text)")
-    got = {r[0]: r for r in duck.execute(sql).fetchall()}
-    assert got[0][1] == 2 and got[0][2] is True
-    assert got[1][1] == 0 and got[1][2] is False
+    sql = pii_scan_sql(DUCKDB, rel=f"(VALUES {_pii_vals()}) docs(doc_id, text)")
+    d = duck.execute(sql)
+    cols = [c[0] for c in d.description]
+    got = {r[0]: dict(zip(cols, r)) for r in d.fetchall()}
+    assert got[0]["n_emails"] == 2 and got[0]["redacted"] is True
+    assert got[1]["redacted"] is False
+    assert got[2]["n_phones"] == 2 and got[2]["n_emails"] == 0
+    assert got[3]["n_ips"] == 1
+    assert got[4]["n_keys"] == 1
+    assert got[5]["n_keys"] == 1              # (?i) + ':' separator
+    assert got[6]["n_ips"] == 0 and got[6]["redacted"] is False
+    assert got[7]["n_keys"] == 0 and got[7]["redacted"] is False
     import hashlib
     clean = "contact REDACTED or REDACTED today"
-    assert got[0][3] == hashlib.md5(clean.encode()).hexdigest()
+    assert got[0]["clean_hash"] == hashlib.md5(clean.encode()).hexdigest()
+    assert got[4]["clean_hash"] == hashlib.md5(
+        b"REDACTED leaked in log"
+    ).hexdigest()
+
+
+def test_pii_scan_spark_duckdb_parity(spark, duck):
+    """Every PII rule class must agree char-for-char across engines on
+    rows that exercise it (the driver's documents fixture is PII-free,
+    so the gate alone cannot pin these patterns)."""
+    from slog_agent_spark.functions.dialect import DUCKDB, SPARK
+    from slog_agent_spark.operators.textops import pii_scan_sql
+
+    spark.createDataFrame(PII_ROWS, "doc_id INT, text STRING") \
+        .createOrReplaceTempView("pii_docs")
+    df = spark.sql(pii_scan_sql(SPARK, rel="pii_docs"))
+    assert_df_equals_oracle(
+        df, duck,
+        pii_scan_sql(DUCKDB, rel=f"(VALUES {_pii_vals()}) docs(doc_id, text)"),
+    )

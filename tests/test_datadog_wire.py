@@ -27,20 +27,24 @@ def test_chunk_roundtrip_against_reference_golden(title):
     for _cid, data, n_rec, n_raw in chunks:
         events = decode_chunk(data)
         assert len(events) == n_rec
-        assert n_raw <= 4096 or n_rec == 1
+        assert n_raw <= 4096 + 1 or n_rec == 1  # numBytes hits cap+1 when full
         assert data[:2] == b"\x1f\x8b"  # real gzip
         decoded.extend(events)
     assert decoded == golden
 
 
 def test_byte_accounting_matches_reference_rule():
-    """numBytes counts '[' + records + commas + ']' — a record that
-    would push past the cap starts a new chunk (chunk.go:96-107)."""
+    """numBytes mirrors chunk.go exactly: '[' then one delimiter PER
+    RECORD including the first (chunk.go:66), ']' at finalize; the
+    overflow check is numBytes + dataLength + len(']')
+    (chunk.go:96-107). With 7-byte records and cap 17: after two
+    records numBytes = 1+8+8 = 17; a third would need 17+7+1 = 25 > 17
+    → flush. Reported raw = 17+1 = 18 (the reference's numBytes also
+    lands at cap+1 on an exactly-full chunk)."""
     evs = ['{"a":1}'] * 5  # 7 bytes each
-    # cap: [  7 , 7 ] = 1+7+1+7+1 = 17 → exactly two records fit
     chunks = list(chunk_events(evs, max_bytes=17, max_records=0))
     assert [c[2] for c in chunks] == [2, 2, 1]
-    assert [c[3] for c in chunks] == [17, 17, 9]
+    assert [c[3] for c in chunks] == [18, 18, 10]
 
 
 def test_record_cap_and_monotonic_ids():

@@ -172,3 +172,20 @@ def test_conversation_dedup_groups_and_order_sensitivity(spark):
     assert sizes == [1, 3]  # {c1, c2, c4} vs {c3}
     big = next(r for r in got.values() if r["group_size"] == 3)
     assert big["keep_conv_id"] == "c1" and big["n_passed"] == 2
+
+
+def test_conversation_dedup_newline_injection_proof(spark):
+    """A single turn containing a real newline must NOT collide with two
+    separate turns holding its halves (round-3 ADVICE: a '\\n'-joined
+    digest merged ["a\\nb"] with ["a","b"] — and the oracle shared the
+    collision, so only a direct test can pin this)."""
+    from slog_agent_spark.plans.pipeline import conversation_dedup_from
+
+    rows = [
+        ("one_turn", 0, "a\nb", False),
+        ("two_turns", 0, "a", False), ("two_turns", 1, "b", False),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "log", "dropped"])
+    out = conversation_dedup_from(df).collect()
+    assert len(out) == 2, "newline-embedding turn collided with split turns"
+    assert all(r["group_size"] == 1 for r in out)

@@ -376,3 +376,20 @@ def test_required_literal_regex_constructs():
     assert required_literal("(?=look)mainpart") == "mainpart"
     assert required_literal("(?<=behind)afterpart") == "afterpart"
     assert required_literal("foo(?:bar)baz") is None       # runs don't merge
+
+
+def test_required_literal_literal_brace():
+    """A '{' that is not a valid quantifier is a literal char in
+    RE2/DuckDB; it must not swallow following structure (round-3 ADVICE:
+    'errorcode{|warn' returned 'errorcod' yet the pattern matches rows
+    with only 'warn' — silent row loss via the contains() precheck)."""
+    from slog_agent_spark.functions.regexlit import required_literal
+
+    assert required_literal("errorcode{|warn") is None     # '|' is top-level
+    assert required_literal("abcd{2}x") is None            # quantified 'd' dropped, runs split
+    assert required_literal("abcde{xyz") == "abcde"        # literal brace: run before kept
+    assert required_literal("prefix{(grouped)") == "grouped"  # brace doesn't eat the group
+    assert required_literal("value{12,34}suffixpart") == "suffixpart"
+    assert required_literal("x{10,20}") is None            # {m,n} body not literal
+    assert required_literal("(abcd){2}other") == "other"   # quantified group discarded
+    assert required_literal("(abcd){xy}") == "abcd"        # literal-brace group NOT quantified
