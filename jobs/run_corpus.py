@@ -92,6 +92,23 @@ def registry(params=None):
     return base
 
 
+def run_ops(spark, data: str, output: str, ops, params=None) -> dict[str, int]:
+    """Run the selected operators and write each under ``<output>/<op>``
+    — the job body, split from main() so the integration test can drive
+    the exact --corpus-config path on a shared session."""
+    reg = registry(params)
+    unknown = [o for o in ops if o not in reg]
+    if unknown:
+        raise ValueError(f"unknown ops: {unknown}; available: {sorted(reg)}")
+    counts = {}
+    for op in ops:
+        df = reg[op](spark, data)
+        dst = os.path.join(output, op)
+        df.write.mode("overwrite").parquet(dst)
+        counts[op] = spark.read.parquet(dst).count()
+    return counts
+
+
 def main(argv: list[str]) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", required=True,
@@ -112,25 +129,20 @@ def main(argv: list[str]) -> int:
 
         params = load_corpus_config(args.corpus_config)
         print(f"corpus params: {params}")
-    reg = registry(params)
     ops = (
         [o.strip() for o in args.ops.split(",") if o.strip()]
         if args.ops
         else list(DOC_OPS + EMB_OPS)
     )
-    unknown = [o for o in ops if o not in reg]
-    if unknown:
-        print(f"unknown ops: {unknown}; available: {sorted(reg)}")
-        return 2
 
     spark = build_session(app_name="slog-agent-spark-corpus")
     try:
-        for op in ops:
-            df = reg[op](spark, args.data)
-            dst = os.path.join(args.output, op)
-            df.write.mode("overwrite").parquet(dst)
-            n = spark.read.parquet(dst).count()
-            print(f"{op}: {n} rows -> {dst}")
+        counts = run_ops(spark, args.data, args.output, ops, params)
+        for op, n in counts.items():
+            print(f"{op}: {n} rows -> {os.path.join(args.output, op)}")
+    except ValueError as e:
+        print(e)
+        return 2
     finally:
         spark.stop()
     return 0

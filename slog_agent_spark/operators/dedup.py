@@ -140,6 +140,25 @@ def minhash_signatures_sql(
     """
 
 
+def banded_rows_sql(
+    d: SqlDialect, sigs_rel: str,
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
+) -> str:
+    """(doc_id, band_id, band_key) rows from a signature relation — the
+    storable LSH index side of incremental dedup: computed once per
+    ingestion batch, appended to a band store, and joined against each
+    new batch's bands (streaming/stream.neardup_batch_handler). At
+    corpus scale the store is bucketed by band_key so the new-vs-store
+    join co-locates."""
+    bands = band_exprs(d, params)
+    band_sel = ", ".join(f"{e} AS {k}" for k, e in bands.items())
+    rows = " UNION ALL ".join(
+        f"SELECT doc_id, '{b}' AS band_id, {b} AS band_key FROM s"
+        for b in bands
+    )
+    return f"WITH s AS (SELECT doc_id, {band_sel} FROM {sigs_rel}) {rows}"
+
+
 def minhash_pairs_ctes(
     d: SqlDialect, sigs_rel: str,
     params: CorpusParams = DEFAULT_CORPUS_PARAMS,

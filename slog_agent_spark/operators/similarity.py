@@ -143,7 +143,7 @@ def ivf_topk_sql(
       UNION ALL
       SELECT centroid_id FROM (
         SELECT c.vec_id AS centroid_id,
-               row_number() OVER (PARTITION BY 'all'
+               row_number() OVER (PARTITION BY c.vec_id % 1
                  ORDER BY {cosine_expr(d, "c.embedding", "q.embedding")} DESC,
                           c.vec_id) AS rn
         FROM {emb_rel} c, q WHERE c.vec_id < {params.ivf_centroids}
@@ -348,7 +348,8 @@ def ann_ivf_trained_sql(
     probe_set AS (
       SELECT centroid_id FROM (
         SELECT c.centroid_id,
-               row_number() OVER (PARTITION BY 'all' ORDER BY {cos_probe} DESC, c.centroid_id) AS rn
+               row_number() OVER (PARTITION BY c.centroid_id % 1
+                 ORDER BY {cos_probe} DESC, c.centroid_id) AS rn
         FROM {cents} c CROSS JOIN q
       ) rp WHERE rn <= {probes}
     ),

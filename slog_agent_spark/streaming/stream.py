@@ -227,6 +227,154 @@ def dedup_stream(
     ).dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
 
 
+DOCUMENT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def stream_documents(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCUMENT_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+
+def neardup_batch_handler(store_dir: str, params=None):
+    """foreachBatch handler for INCREMENTAL MinHash-LSH near-dup — the
+    streaming twin of the batch ``dedup_minhash_lsh`` query: each
+    micro-batch signs its documents once, joins the new band keys
+    against the materialized band store (new-vs-store catches pairs
+    across batches, new-vs-new catches pairs within one), verifies
+    candidates by true Jaccard over the stored shingle sets, and appends
+    (signatures, bands, pairs) to the store.
+
+    Invariant (tested): after draining any input split, the union of
+    per-batch pair outputs equals the batch LSH pair set over the same
+    corpus — each unordered pair is emitted exactly once, in the batch
+    of its LATER document.
+
+    Exactly-once: all three store tables are partitioned by batch_id
+    and written with dynamic partition overwrite; store reads exclude
+    the current batch_id, so a replayed batch sees the same store state
+    and rewrites exactly its own partitions.
+
+    Scale shape: the only corpus-sized join is new-bands × stored-bands
+    on (band_id, band_key) — at 10⁹+ docs the band store is bucketed by
+    band_key so each micro-batch join co-locates; signatures/pairs are
+    append-only columnar tables, never rescanned in full.
+    """
+    from ..functions.dialect import SPARK as SPARK_D
+    from ..operators import dedup
+    from ..plans.corpus_config import DEFAULT_CORPUS_PARAMS
+    from ..sinks.writers import write_table
+
+    params = params or DEFAULT_CORPUS_PARAMS
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.createOrReplaceTempView("nd_batch_docs")
+        new_sigs = spark.sql(
+            dedup.minhash_signatures_sql(SPARK_D, "nd_batch_docs", params)
+        ).localCheckpoint()
+        new_sigs.createOrReplaceTempView("nd_new_sigs")
+        new_banded = spark.sql(
+            dedup.banded_rows_sql(SPARK_D, "nd_new_sigs", params)
+        ).localCheckpoint()
+        new_banded.createOrReplaceTempView("nd_new_banded")
+
+        def store_view(path: str, name: str, cols: str) -> bool:
+            try:
+                df = spark.read.parquet(path)
+            except Exception:
+                return False
+            # a failed prior attempt of THIS batch may have written its
+            # partitions already — exclude them from the visible store
+            df.where(F.col("batch_id").cast("long") != batch_id).selectExpr(
+                *cols.split(",")
+            ).createOrReplaceTempView(name)
+            return True
+
+        has_bands = store_view(
+            f"{store_dir}/bands", "nd_store_banded", "doc_id,band_id,band_key"
+        )
+        store_view(f"{store_dir}/sigs", "nd_store_sigs", "doc_id,shingle_set")
+
+        store_band_rows = (
+            "UNION ALL SELECT doc_id, band_id, band_key FROM nd_store_banded"
+            if has_bands
+            else ""
+        )
+        store_sig_rows = (
+            "UNION ALL SELECT doc_id, shingle_set FROM nd_store_sigs"
+            if has_bands
+            else ""
+        )
+        jac = dedup.jaccard_expr(SPARK_D, "a.shingle_set", "b.shingle_set")
+        pairs = spark.sql(f"""
+        WITH allb AS (
+          SELECT doc_id, band_id, band_key FROM nd_new_banded
+          {store_band_rows}
+        ),
+        cand AS (
+          SELECT DISTINCT least(n.doc_id, o.doc_id) AS doc_a,
+                          greatest(n.doc_id, o.doc_id) AS doc_b
+          FROM nd_new_banded n
+          JOIN allb o ON n.band_id = o.band_id
+                     AND n.band_key = o.band_key
+                     AND n.doc_id <> o.doc_id
+        ),
+        sigs_all AS (
+          SELECT doc_id, shingle_set FROM nd_new_sigs
+          {store_sig_rows}
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+          SELECT c.doc_a, c.doc_b, {jac} AS jaccard
+          FROM cand c
+          JOIN sigs_all a ON a.doc_id = c.doc_a
+          JOIN sigs_all b ON b.doc_id = c.doc_b
+        ) WHERE jaccard >= {params.jaccard_threshold}
+        """)
+
+        def commit(df: DataFrame, path: str) -> None:
+            write_table(
+                df.withColumn("batch_id", F.lit(batch_id)),
+                path,
+                partition_by=["batch_id"],
+                mode="overwrite_partitions",
+            )
+
+        commit(pairs, f"{store_dir}/pairs")
+        commit(new_sigs, f"{store_dir}/sigs")
+        commit(new_banded, f"{store_dir}/bands")
+
+    return handle
+
+
+def run_stream_neardup(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    params=None,
+) -> None:
+    """Drain a document stream through incremental MinHash-LSH near-dup
+    (``neardup_batch_handler``); the pair store at
+    ``<store>/pairs`` accumulates every near-duplicate pair exactly
+    once."""
+    q = (
+        stream_documents(spark, input_dir)
+        .writeStream.foreachBatch(neardup_batch_handler(store_dir, params))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_wire_sink(
     spark: SparkSession,
     input_dir: str,

@@ -227,6 +227,57 @@ def test_wire_batch_replay_no_duplicates(spark, sf_dir):
                 dec(fh.read())
 
 
+def test_streaming_neardup_equals_batch(spark, sf_dir):
+    """Incremental MinHash-LSH: after draining the documents corpus in
+    micro-batches, the accumulated pair store equals the batch LSH pair
+    set — every pair exactly once, same Jaccard values."""
+    from slog_agent_spark.plans import corpus as C
+    from slog_agent_spark.streaming.stream import run_stream_neardup
+
+    with tempfile.TemporaryDirectory() as work:
+        ddir = f"{work}/documents"
+        (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .repartition(8)  # 8 files / maxFilesPerTrigger=4 → ≥2 batches
+            .write.parquet(ddir)
+        )
+        run_stream_neardup(spark, ddir, f"{work}/store", f"{work}/ckpt")
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in spark.read.parquet(f"{work}/store/pairs").collect()
+        }
+        want = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in C.minhash_lsh_query(spark, sf_dir).collect()
+        }
+        assert got == want and got
+
+
+def test_streaming_neardup_replay_no_duplicates(spark, sf_dir):
+    """Replaying a micro-batch rewrites exactly its own store
+    partitions — pair/signature counts unchanged."""
+    from slog_agent_spark.streaming.stream import neardup_batch_handler
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    first = docs.where("doc_id < 250")
+    second = docs.where("doc_id >= 250")
+    with tempfile.TemporaryDirectory() as work:
+        handler = neardup_batch_handler(f"{work}/store")
+        handler(first, 0)
+        handler(second, 1)
+        pairs = spark.read.parquet(f"{work}/store/pairs")
+        sigs = spark.read.parquet(f"{work}/store/sigs")
+        n_pairs, n_sigs = pairs.count(), sigs.count()
+        assert n_pairs > 0 and n_sigs == docs.count()
+        handler(second, 1)  # the replay
+        assert spark.read.parquet(f"{work}/store/pairs").count() == n_pairs
+        assert spark.read.parquet(f"{work}/store/sigs").count() == n_sigs
+
+
 def test_streaming_wire_sink_chunks_decode(spark, sf_dir):
     """Drained wire-chunk sink: every passed row lands in exactly one
     decodable fluentd chunk, grouped per (batch, tag)."""
