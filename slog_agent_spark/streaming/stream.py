@@ -59,11 +59,12 @@ def pipeline_batch_handler(sink_dir: str):
     """
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..plans.pipeline import fence_filter
         from ..sinks.writers import write_table
 
         tf = transform_transcripts(batch_df)
         write_table(
-            tf.where("NOT dropped").withColumn("batch_id", F.lit(batch_id)),
+            fence_filter(tf, "NOT dropped").withColumn("batch_id", F.lit(batch_id)),
             f"{sink_dir}/events",
             partition_by=["batch_id", "tag"],
             mode="overwrite_partitions",
