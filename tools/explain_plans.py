@@ -114,6 +114,38 @@ def main() -> None:
           raw2.rindex("HashAggregate") > raw2.index("Exchange")
           if "Exchange" in raw2 and "HashAggregate" in raw2 else False, "")
 
+    # 2b. pushdown-fence evidence (round-4 finding): Catalyst substitutes
+    # a filtered column's definition into a Filter below the projection,
+    # and Filter predicates get no subexpression elimination — a plain
+    # .where("NOT dropped") re-executed the whole chain per input row
+    # (measured 4.3s vs 0.58s at 2M rows). fence_filter must keep the
+    # Filter ABOVE the projection, testing the computed column.
+    pf = P.fence_filter(tr, "NOT dropped")
+    raw2b = plan_of(pf)
+    sections.append((
+        "fenced NOT-dropped filter (`fence_filter`)",
+        "The Filter tests the computed `dropped` column (fence blocks "
+        "PushDownPredicates); the extraction chain appears exactly once.",
+        formatted(pf),
+    ))
+    fl = [ln for ln in raw2b.splitlines() if "Filter" in ln]
+    check("fence: filter tests computed column, chain not substituted",
+          bool(fl) and all(
+              "__fence" in ln and "rtrim" not in ln and "split(" not in ln
+              for ln in fl if "dropped" in ln
+          ), "")
+    check("fence: extraction chain evaluated once",
+          raw2b.count("rtrim(source") == 1,
+          f"{raw2b.count('rtrim(source')} occurrences")
+    # The parse filter stays an ordinary pushed predicate (its conjuncts
+    # reach the scan) — but its inlined form must carry at most ONE
+    # split() occurrence (the old __arr-based parse_ok carried six).
+    parse_filters = [ln for ln in raw1.splitlines() if "Filter" in ln]
+    check("parse filter: inlined parse_ok has at most one split()",
+          bool(parse_filters) and all(
+              ln.count("split(") <= 1 for ln in parse_filters
+          ), "")
+
     # 3. column pruning evidence: a 2-column projection off the parse stage
     two = parse_transcripts(
         spark.read.parquet(f"{sf}/events.parquet").selectExpr(
