@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             C.exact_dedup_query(spark, sf)
         ),
         "dedup_minhash_lsh": C.minhash_lsh_query,
+        "dedup_band_index": C.band_index_query,
         "dedup_simhash": lambda spark, sf: _cast_counts_long(
             C.simhash_query(spark, sf)
         ),
@@ -162,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": C.fingerprint_oracle(),
         "dedup_exact": C.exact_dedup_oracle(),
         "dedup_minhash_lsh": C.minhash_lsh_oracle(),
+        "dedup_band_index": C.band_index_oracle(),
         "dedup_simhash": C.simhash_oracle(),
         "dedup_simhash_neardup": C.simhash_neardup_oracle(),
         "dedup_ngram_jaccard": C.ngram_jaccard_oracle(),

@@ -43,6 +43,7 @@ DOC_OPS = (
     "corpus_contamination",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_band_index",
     "dedup_ngram_jaccard",
     "dedup_simhash_neardup",
     "dedup_groups_cc",
@@ -74,6 +75,7 @@ def registry(params=None):
         "corpus_contamination": C.contamination_query,
         "dedup_exact": C.exact_dedup_query,
         "dedup_minhash_lsh": C.minhash_lsh_query,
+        "dedup_band_index": C.band_index_query,
         "dedup_ngram_jaccard": C.ngram_jaccard_query,
         "dedup_simhash_neardup": C.simhash_neardup_query,
         "dedup_groups_cc": C.dedup_groups_query,

@@ -6,7 +6,8 @@ Usage (cluster):
         jobs/run_stream.py \\
         --input <transcript parquet dir (files appear over time)> \\
         --output <sink root> --checkpoint <streaming checkpoint root> \\
-        [--mode pipeline|sessions|dedup|counters] [--drain]
+        [--mode pipeline|wire|neardup|sessions|dedup|counters]
+        [--salts N] [--drain]
 
 Modes (all watermarked, all resume from --checkpoint):
     pipeline   full parse→transform→route through foreachBatch, per-tag
@@ -15,6 +16,10 @@ Modes (all watermarked, all resume from --checkpoint):
     wire       full pipeline with REAL fluentd forward-protocol output:
                msgpack events in gzip chunks per (batch, tag)
     sessions   per-conversation gap sessionization (session_window)
+    neardup    incremental MinHash-LSH near-dup over a DOCUMENT stream
+               (doc_id, text): per-batch signatures joined against the
+               materialized band store; pair/sig/band stores under
+               --output, exactly-once per batch partition
     dedup      at-least-once redelivery guard
                (dropDuplicatesWithinWatermark on conv_id/turn_idx)
     counters   event-time windowed per-role counters
@@ -36,8 +41,10 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--mode", default="pipeline",
-                    choices=["pipeline", "wire", "sessions", "dedup",
-                             "counters"])
+                    choices=["pipeline", "wire", "neardup", "sessions",
+                             "dedup", "counters"])
+    ap.add_argument("--salts", type=int, default=1,
+                    help="wire mode: sub-chunkers per hot tag")
     ap.add_argument("--drain", action="store_true",
                     help="availableNow trigger: drain existing input, exit")
     args = ap.parse_args(argv)
@@ -56,6 +63,12 @@ def main(argv: list[str]) -> int:
         if args.mode == "wire":
             # fluentd CompressedPackedForward chunks per (batch, tag)
             S.run_stream_wire_sink(
+                spark, args.input, args.output, args.checkpoint,
+                salts=args.salts,
+            )
+            return 0
+        if args.mode == "neardup":
+            S.run_stream_neardup(
                 spark, args.input, args.output, args.checkpoint
             )
             return 0

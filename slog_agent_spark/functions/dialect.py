@@ -145,6 +145,30 @@ class SqlDialect:
         t = "STRING" if self.name == self.SPARK else "VARCHAR"
         return f"CAST(({expr}) AS {t})"
 
+    # -- predicate-pushdown fence ---------------------------------------
+    # Catalyst pushes a WHERE below the defining projection by
+    # substituting the column's expression into the Filter — and Filter
+    # predicates get no subexpression elimination, so an expensive
+    # computed column (pair Jaccard/Hamming) is evaluated twice per row.
+    # A nondeterministic field in the projection blocks the rule
+    # (PushPredicateThroughNonJoin requires fields.forall(deterministic));
+    # the filter must REFERENCE the fence so ColumnPruning keeps it.
+    # DuckDB has no such pathology (and no spark_partition_id), so the
+    # oracle emits nothing — result schema/values identical by
+    # construction (spark_partition_id() >= 0 is always true).
+
+    def fence_field(self) -> str:
+        """Extra SELECT item for a fenced projection ('' on DuckDB)."""
+        if self.name == self.SPARK:
+            return ", spark_partition_id() AS __fence"
+        return ""
+
+    def fence_pred(self) -> str:
+        """Leading WHERE conjunct referencing the fence ('' on DuckDB)."""
+        if self.name == self.SPARK:
+            return "__fence >= 0 AND "
+        return ""
+
     # -- control flow ---------------------------------------------------
     def if_(self, cond: str, then: str, otherwise: str) -> str:
         return f"(CASE WHEN {cond} THEN {then} ELSE {otherwise} END)"

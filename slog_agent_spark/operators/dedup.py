@@ -159,6 +159,27 @@ def banded_rows_sql(
     return f"WITH s AS (SELECT doc_id, {band_sel} FROM {sigs_rel}) {rows}"
 
 
+def band_index_sql(
+    d: SqlDialect, docs_rel: str = "documents",
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
+) -> str:
+    """LSH band-index occupancy: one row per (band_id, band_key) bucket
+    with its document count and lowest member — the batch view of the
+    band STORE the incremental streaming near-dup joins against
+    (streaming/stream.neardup_batch_handler appends exactly these rows
+    per batch). Bucket-occupancy skew here is the direct predictor of
+    the band-join's shuffle skew at scale."""
+    return f"""
+    WITH sigs AS ({minhash_signatures_sql(d, docs_rel, params)}),
+    banded AS ({banded_rows_sql(d, "sigs", params)})
+    SELECT band_id, band_key,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM banded
+    GROUP BY band_id, band_key
+    """
+
+
 def minhash_pairs_ctes(
     d: SqlDialect, sigs_rel: str,
     params: CorpusParams = DEFAULT_CORPUS_PARAMS,
@@ -172,6 +193,7 @@ def minhash_pairs_ctes(
         for b in bands
     )
     jac = jaccard_expr(d, "a.shingle_set", "b.shingle_set")
+    fence = d.fence_field()
     return f"""
     sigs AS (SELECT doc_id, shingle_set, {band_sel} FROM {sigs_rel}),
     banded AS ({band_rows}),
@@ -182,17 +204,22 @@ def minhash_pairs_ctes(
        AND a.doc_id < b.doc_id
     ),
     verified AS (
-      SELECT c.doc_a, c.doc_b, {jac} AS jaccard
+      SELECT c.doc_a, c.doc_b, {jac} AS jaccard{fence}
       FROM candidates c
       JOIN {sigs_rel} a ON a.doc_id = c.doc_a
       JOIN {sigs_rel} b ON b.doc_id = c.doc_b
     )"""
 
 
-MINHASH_PAIRS_FINAL = (
-    "SELECT doc_a, doc_b, jaccard FROM verified "
-    "WHERE jaccard >= {threshold}"
-)
+def minhash_pairs_final(d: SqlDialect, threshold) -> str:
+    """Thresholded pair cut over ``verified`` — fenced on Spark so the
+    WHERE tests the projected jaccard instead of re-evaluating the
+    intersect/union per candidate below the projection (dialect.py
+    fence_field; 2x the verify stage at scale otherwise)."""
+    return (
+        f"SELECT doc_a, doc_b, jaccard FROM verified "
+        f"WHERE {d.fence_pred()}jaccard >= {threshold}"
+    )
 
 
 def minhash_pairs_from_sigs_sql(
@@ -202,7 +229,7 @@ def minhash_pairs_from_sigs_sql(
     """Stage 2 of MinHash-LSH, over a materialized signature relation."""
     return (
         f"WITH {minhash_pairs_ctes(d, sigs_rel, params)} "
-        + MINHASH_PAIRS_FINAL.format(threshold=params.jaccard_threshold)
+        + minhash_pairs_final(d, params.jaccard_threshold)
     )
 
 
@@ -220,7 +247,7 @@ def minhash_lsh_pairs_sql(
         f"WITH sig0 AS ({minhash_signatures_sql(d, docs_rel, params)}), "
         + minhash_pairs_ctes(d, "sig0", params)
         + " "
-        + MINHASH_PAIRS_FINAL.format(threshold=params.jaccard_threshold)
+        + minhash_pairs_final(d, params.jaccard_threshold)
     )
 
 
@@ -431,7 +458,7 @@ def simhash_neardup_pairs_sql(
     return (
         f"WITH sk0 AS ({simhash_sketches_sql(d, docs_rel, bands, band_bits)}), "
         + simhash_pairs_ctes(d, "sk0", bands, band_bits)
-        + f" SELECT doc_a, doc_b, hamming FROM verified WHERE hamming <= {k}"
+        + f" SELECT doc_a, doc_b, hamming FROM verified WHERE {d.fence_pred()}hamming <= {k}"
     )
 
 
@@ -479,7 +506,7 @@ def simhash_pairs_ctes(
        AND a.doc_id < b.doc_id
     ),
     verified AS (
-      SELECT c.doc_a, c.doc_b, CAST(({hamming}) AS INT) AS hamming
+      SELECT c.doc_a, c.doc_b, CAST(({hamming}) AS INT) AS hamming{d.fence_field()}
       FROM candidates c
       JOIN {sk_rel} a ON a.doc_id = c.doc_a
       JOIN {sk_rel} b ON b.doc_id = c.doc_b
@@ -496,7 +523,7 @@ def simhash_pairs_from_sketches_sql(
     """Stage 2 of the SimHash near-dup, over a materialized sketch relation."""
     return (
         f"WITH {simhash_pairs_ctes(d, sk_rel, bands, band_bits)} "
-        f"SELECT doc_a, doc_b, hamming FROM verified WHERE hamming <= {k}"
+        f"SELECT doc_a, doc_b, hamming FROM verified WHERE {d.fence_pred()}hamming <= {k}"
     )
 
 
@@ -584,7 +611,7 @@ def corpus_retention_sql(
     return (
         f"WITH sig0 AS ({minhash_signatures_sql(d, docs_rel, params)}), "
         + minhash_pairs_ctes(d, "sig0", params)
-        + f", pairs AS ({MINHASH_PAIRS_FINAL.format(threshold=params.jaccard_threshold)}), "
+        + f", pairs AS ({minhash_pairs_final(d, params.jaccard_threshold)}), "
         + corpus_retention_ctes(d, docs_rel, "pairs")
         + " "
         + corpus_retention_final(d, params)
@@ -670,7 +697,7 @@ def dedup_groups_sql(
     parts = [
         f"sig0 AS MATERIALIZED ({minhash_signatures_sql(d, docs_rel, params)})",
         minhash_pairs_ctes(d, "sig0", params).strip(),
-        f"pairs {mat}({MINHASH_PAIRS_FINAL.format(threshold=params.jaccard_threshold)})",
+        f"pairs {mat}({minhash_pairs_final(d, params.jaccard_threshold)})",
         f"edges {mat}({cc_edges_sql(d, 'pairs')})",
         f"l0 {mat}({cc_init_sql(d, 'edges')})",
     ]

@@ -95,6 +95,9 @@ def _staged_query(stages, final_builder, oracle_builder, tables):
 exact_dedup_query, exact_dedup_oracle = _sql_query(
     dedup.exact_dedup_sql, ("documents",)
 )
+band_index_query, band_index_oracle = _sql_query(
+    dedup.band_index_sql, ("documents",)
+)
 minhash_lsh_query, minhash_lsh_oracle = _staged_query(
     [("minhash_sigs", dedup.minhash_signatures_sql)],
     lambda d: dedup.minhash_pairs_from_sigs_sql(d, "minhash_sigs"),
@@ -293,6 +296,9 @@ def build_corpus_queries(params):
     identical to the default pairs, only the sizing changes.
     """
     return {
+        "dedup_band_index": _sql_query(
+            lambda d: dedup.band_index_sql(d, params=params), ("documents",)
+        ),
         "dedup_minhash_lsh": _staged_query(
             [
                 (

@@ -333,11 +333,11 @@ def neardup_batch_handler(store_dir: str, params=None):
           {store_sig_rows}
         )
         SELECT doc_a, doc_b, jaccard FROM (
-          SELECT c.doc_a, c.doc_b, {jac} AS jaccard
+          SELECT c.doc_a, c.doc_b, {jac} AS jaccard{SPARK_D.fence_field()}
           FROM cand c
           JOIN sigs_all a ON a.doc_id = c.doc_a
           JOIN sigs_all b ON b.doc_id = c.doc_b
-        ) WHERE jaccard >= {params.jaccard_threshold}
+        ) WHERE {SPARK_D.fence_pred()}jaccard >= {params.jaccard_threshold}
         """)
 
         def commit(df: DataFrame, path: str) -> None:
