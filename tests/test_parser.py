@@ -76,3 +76,48 @@ def test_empty_tokens_and_empty_body_parse_ok(spark, duck):
         + parse_oracle_select(passthrough=["rid"])
     )
     assert_df_equals_oracle(df, duck, oracle)
+
+
+def test_parse_ok_raw_text_form_edge_cases(spark, duck):
+    """The round-4 parse_ok rewrite (over raw text: one split + locate/
+    substr of the first token, so a pushed-down Filter stays cheap) must
+    stay value-identical to the oracle's token-array form on adversarial
+    shapes: no-space text, short first tokens, '>1' in the wrong place,
+    non-numeric / negative / overflow pri, boundary facility 191/192,
+    multi-digit pri, empty text, '<' alone."""
+    from slog_agent_spark.sources.parser import parse_logs, parse_oracle_select
+
+    pad = "x" * 40  # keeps octet_length >= 32 from masking other conditions
+    recs = [
+        (f"nospace_at_all_{pad}", 0),                       # no spaces
+        (f"<13>1 a b c d e f {pad}", 1),                    # ok
+        (f"13>1 a b c d e f {pad}", 2),                     # no '<'
+        (f"<>1 a b c d e f {pad}", 3),                      # empty pri
+        (f"<x>1 a b c d e f {pad}", 4),                     # non-numeric pri
+        (f"<-5>1 a b c d e f {pad}", 5),                    # negative pri
+        (f"<191>1 a b c d e f {pad}", 6),                   # max valid pri
+        (f"<192>1 a b c d e f {pad}", 7),                   # pri == 192: bad
+        (f"<9999999999>1 a b c d e f {pad}", 8),            # overflow pri
+        (f"<1>2 a b c d e f {pad}", 9),                     # wrong version
+        (f"<1> 1 a b c d e f {pad}", 10),                   # token too short
+        (f"< 1>1 a b c d e f {pad}", 11),                   # space inside pri
+        (f"<13>1 a b c d e {pad}", 12),                     # only 7 tokens
+        (f"<13>1  a b c d e f {pad}", 13),                  # empty time token
+        ("<13>1 a b", 14),                                  # too short overall
+        (f">1<13 a b c d e f {pad}", 15),                   # '>1' misplaced
+    ]
+    df = parse_logs(
+        spark.createDataFrame(recs, ["text", "rid"]), ["rid"]
+    ).withColumn("raw_length", F.col("raw_length").cast("long"))
+    ok = {r["rid"]: r["parse_ok"] for r in df.collect()}
+    assert ok == {
+        0: False, 1: True, 2: False, 3: False, 4: False, 5: False,
+        6: True, 7: False, 8: False, 9: False, 10: False, 11: False,
+        12: False, 13: True, 14: False, 15: False,
+    }
+    values = ", ".join(f"({t!r}, {i})" for t, i in recs)
+    oracle = (
+        f"WITH transcripts AS (SELECT * FROM (VALUES {values}) t(text, rid)) "
+        + parse_oracle_select(passthrough=["rid"])
+    )
+    assert_df_equals_oracle(df, duck, oracle)
