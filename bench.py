@@ -174,8 +174,7 @@ def run_bench(sf_dir: str, cpus: int, explode: int) -> dict:
         from slog_agent_spark.sinks.serializers import fluentd_event
 
         ev = (
-            P.transform_transcripts(fresh())
-            .where("NOT dropped")
+            P.fence_filter(P.transform_transcripts(fresh()), "NOT dropped")
             .limit(50000)
             .select(F.expr(
                 fluentd_event(SPARK, OUTPUTS["customFluentd"], "tag", SCHEMA_FIELDS)

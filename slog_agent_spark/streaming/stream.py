@@ -288,10 +288,12 @@ def neardup_batch_handler(store_dir: str, params=None):
         new_banded.createOrReplaceTempView("nd_new_banded")
 
         def store_view(path: str, name: str, cols: str) -> bool:
+            from pyspark.errors import AnalysisException
+
             try:
                 df = spark.read.parquet(path)
-            except Exception:
-                return False
+            except AnalysisException:
+                return False  # store not created yet (first batch)
             # a failed prior attempt of THIS batch may have written its
             # partitions already — exclude them from the visible store
             df.where(F.col("batch_id").cast("long") != batch_id).selectExpr(
