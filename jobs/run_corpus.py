@@ -136,15 +136,18 @@ def main(argv: list[str]) -> int:
         if args.ops
         else list(DOC_OPS + EMB_OPS)
     )
+    # reject op-name typos before spinning up a session; ValueErrors
+    # raised during execution propagate with their tracebacks
+    unknown = [o for o in ops if o not in registry(params)]
+    if unknown:
+        print(f"unknown ops: {unknown}; available: {sorted(registry(params))}")
+        return 2
 
     spark = build_session(app_name="slog-agent-spark-corpus")
     try:
         counts = run_ops(spark, args.data, args.output, ops, params)
         for op, n in counts.items():
             print(f"{op}: {n} rows -> {os.path.join(args.output, op)}")
-    except ValueError as e:
-        print(e)
-        return 2
     finally:
         spark.stop()
     return 0

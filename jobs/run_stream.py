@@ -9,7 +9,8 @@ Usage (cluster):
         [--mode pipeline|wire|neardup|sessions|dedup|counters]
         [--salts N] [--drain]
 
-Modes (all watermarked, all resume from --checkpoint):
+Modes (all resume from --checkpoint; sessions/dedup/counters are
+watermarked, pipeline/wire/neardup are foreachBatch exactly-once):
     pipeline   full parse→transform→route through foreachBatch, per-tag
                parquet sinks (exactly-once via checkpoint + idempotent
                batch overwrites)

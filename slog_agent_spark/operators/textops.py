@@ -368,14 +368,17 @@ def gopher_flags_sql(d: SqlDialect, rel: str = "documents") -> str:
 
 # -- PII scan / redaction over the corpus ------------------------------------
 
+from .transforms import REDACT_EMAIL_RE as _EMAIL_RE
+
 # Rule classes beyond the reference's redactEmail (transform/redact.go has
 # only the email rule; an LLM-corpus pipeline needs the usual classes).
 # Every pattern is Java-regex ∩ RE2 so Spark and DuckDB agree
 # char-for-char; every pattern is interpolated via d.lit(), never bare.
 # (name, pattern, precheck-needles-ORed-or-None)
 PII_RULES: list[tuple[str, str, list[str] | None]] = [
-    # reference parity: operators/transforms.REDACT_EMAIL_RE
-    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9][A-Za-z0-9.-]*", ["@"]),
+    # the SAME object as the pipeline's redactEmail transform — an edit
+    # there must keep the corpus scan's clean_hash in lockstep
+    ("emails", _EMAIL_RE, ["@"]),
     # +1-555-123-4567 / (555) 123 4567 / 555.123.4567 — separators
     # required so plain digit runs (ids, counters) don't match
     ("phones", r"\+?\d{0,2}[ .-]?\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}", None),
@@ -403,29 +406,48 @@ def pii_scan_sql(d: SqlDialect, rel: str = "documents") -> str:
 
     Scale shape: per-row projection, whole-stage codegen; classes with a
     required literal (``@`` for email, ``.`` for IPs, ``=``/``:`` for
-    keys) sit behind a ``contains()`` precheck so the majority of rows
-    skip the regex entirely.
+    keys) gate BOTH their count and their redaction pass behind a
+    ``contains()`` precheck, so rows without the needle skip that class's
+    regex entirely — for counts AND for the clean-hash chain. The chain
+    is built as one SSA-style CTE layer per rule (each layer's cleaned
+    text referenced once by the next), never by textually nesting the
+    previous layer twice inside a CASE.
     """
     from .transforms import REDACT_REPLACEMENT
 
     count_cols = []
-    clean = "text"
     flags = []
-    for name, pattern, needles in PII_RULES:
+    layers = []
+    prev_rel, prev_col = rel, "text"
+    for i, (name, pattern, needles) in enumerate(PII_RULES):
         n = d.regexp_count("text", pattern)
+        gate = (
+            " OR ".join(d.contains(prev_col, x) for x in needles)
+            if needles else "TRUE"
+        )
         if needles:
-            gate = " OR ".join(d.contains("text", x) for x in needles)
-            n = f"(CASE WHEN {gate} THEN {n} ELSE 0 END)"
+            count_gate = " OR ".join(d.contains("text", x) for x in needles)
+            n = f"(CASE WHEN {count_gate} THEN {n} ELSE 0 END)"
         count_cols.append(f"CAST({n} AS INT) AS n_{name}")
         flags.append(f"n_{name} > 0")
-        clean = d.regexp_replace_all(clean, pattern, REDACT_REPLACEMENT)
+        rr = d.regexp_replace_all(prev_col, pattern, REDACT_REPLACEMENT)
+        clean_expr = (
+            rr if gate == "TRUE"
+            else f"(CASE WHEN {gate} THEN {rr} ELSE {prev_col} END)"
+        )
+        layers.append(
+            f"c{i} AS (SELECT doc_id, text, {clean_expr} AS clean{i} "
+            f"FROM {prev_rel})"
+        )
+        prev_rel, prev_col = f"c{i}", f"clean{i}"
     counts = ",\n           ".join(count_cols)
     return f"""
-    WITH scanned AS (
+    WITH {", ".join(layers)},
+    scanned AS (
       SELECT doc_id,
              {counts},
-             md5({clean}) AS clean_hash
-      FROM {rel}
+             md5({prev_col}) AS clean_hash
+      FROM {prev_rel}
     )
     SELECT doc_id, {", ".join(f"n_{name}" for name, _, _ in PII_RULES)},
            ({" OR ".join(flags)}) AS redacted,

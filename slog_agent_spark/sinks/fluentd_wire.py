@@ -424,7 +424,7 @@ def write_wire_chunks(
     if base_nano is None:
         base_nano = time.time_ns()
 
-    def run_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def run_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         tag, salt = key
         pdf = pdf.sort_values(["conv_id", "turn_idx"])
         tag_dir = os.path.join(out_dir, tag.replace("/", "_"))

@@ -254,6 +254,36 @@ def test_streaming_neardup_equals_batch(spark, sf_dir):
         assert got == want and got
 
 
+def test_streaming_neardup_resumes_across_restarts(spark, sf_dir):
+    """Drain, stop, new files land, drain AGAIN with the same checkpoint:
+    the second run must process only the new files (checkpoint resume)
+    and the accumulated pair store must equal the batch pair set over
+    the full corpus — the incremental ingestion story end to end."""
+    from slog_agent_spark.plans import corpus as C
+    from slog_agent_spark.streaming.stream import run_stream_neardup
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    with tempfile.TemporaryDirectory() as work:
+        ddir = f"{work}/documents"
+        docs.where("doc_id < 250").coalesce(1).write.parquet(ddir)
+        run_stream_neardup(spark, ddir, f"{work}/store", f"{work}/ckpt")
+        n_first = spark.read.parquet(f"{work}/store/pairs").count()
+        docs.where("doc_id >= 250").coalesce(1).write.mode("append").parquet(ddir)
+        run_stream_neardup(spark, ddir, f"{work}/store", f"{work}/ckpt")
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in spark.read.parquet(f"{work}/store/pairs").collect()
+        }
+        want = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in C.minhash_lsh_query(spark, sf_dir).collect()
+        }
+        assert got == want and len(got) >= n_first
+
+
 def test_streaming_neardup_replay_no_duplicates(spark, sf_dir):
     """Replaying a micro-batch rewrites exactly its own store
     partitions — pair/signature counts unchanged."""
