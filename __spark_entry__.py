@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dedup_minhash_lsh": C.minhash_lsh_query,
         "dedup_band_index": C.band_index_query,
+        "corpus_pack_chunks": C.pack_chunks_query,
+        "corpus_mix_sample": C.mix_sample_query,
         "dedup_simhash": lambda spark, sf: _cast_counts_long(
             C.simhash_query(spark, sf)
         ),
@@ -164,6 +166,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": C.exact_dedup_oracle(),
         "dedup_minhash_lsh": C.minhash_lsh_oracle(),
         "dedup_band_index": C.band_index_oracle(),
+        "corpus_pack_chunks": C.pack_chunks_oracle(),
+        "corpus_mix_sample": C.mix_sample_oracle(),
         "dedup_simhash": C.simhash_oracle(),
         "dedup_simhash_neardup": C.simhash_neardup_oracle(),
         "dedup_ngram_jaccard": C.ngram_jaccard_oracle(),

@@ -40,6 +40,8 @@ DOC_OPS = (
     "doc_gopher_flags",
     "corpus_pii_scan",
     "corpus_vocab_top",
+    "corpus_pack_chunks",
+    "corpus_mix_sample",
     "corpus_contamination",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -72,6 +74,8 @@ def registry(params=None):
         "doc_gopher_flags": C.gopher_flags_query,
         "corpus_pii_scan": C.pii_scan_query,
         "corpus_vocab_top": C.vocab_top_query,
+        "corpus_pack_chunks": C.pack_chunks_query,
+        "corpus_mix_sample": C.mix_sample_query,
         "corpus_contamination": C.contamination_query,
         "dedup_exact": C.exact_dedup_query,
         "dedup_minhash_lsh": C.minhash_lsh_query,

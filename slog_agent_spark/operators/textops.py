@@ -456,6 +456,101 @@ def pii_scan_sql(d: SqlDialect, rel: str = "documents") -> str:
     """
 
 
+# -- sequence packing (concat-and-chunk) -------------------------------------
+PACK_BUDGET_TOKENS = 2048     # context-window budget per training chunk
+PACK_BUCKET_DOCS = 64         # docs per prefix-sum bucket
+
+
+def pack_chunks_sql(
+    d: SqlDialect, rel: str = "documents",
+    budget: int = PACK_BUDGET_TOKENS, bucket: int = PACK_BUCKET_DOCS,
+) -> str:
+    """GPT-style sequence packing: concatenate documents in doc_id order
+    and cut every ``budget`` tokens — each doc gets the training chunk
+    its first token lands in plus its offset inside that chunk (docs
+    straddle boundaries, exactly like pretraining concat-and-chunk).
+
+    Scale shape — a DISTRIBUTED PREFIX SUM, never one global window:
+    docs bucket by ``doc_id div bucket`` (deterministic global order);
+    stage 1 is a map-side-partial groupBy of per-bucket token totals;
+    stage 2 computes bucket prefix offsets with a window over the TINY
+    bucket-totals relation (n_docs/bucket rows — at 10^9 docs and
+    bucket=10^4 that is 10^5 rows on one task, constant work); stage 3
+    joins the (broadcastable) offsets back and finishes with a
+    within-bucket running sum partitioned by bucket. The naive
+    single-window cumsum form would serialize the entire corpus through
+    one partition.
+    """
+    t = token_count_items(d)["n_tokens"]
+    div = d.int_div
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, CAST({t} AS BIGINT) AS n_tokens,
+             {div("doc_id", str(bucket))} AS bucket
+      FROM {rel}
+    ),
+    bsum AS (
+      SELECT bucket, CAST(sum(n_tokens) AS BIGINT) AS btotal
+      FROM toks GROUP BY bucket
+    ),
+    bpre AS (
+      SELECT bucket,
+             coalesce(sum(btotal) OVER (PARTITION BY bucket % 1
+               ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS boffset
+      FROM bsum
+    ),
+    packed AS (
+      SELECT t.doc_id, t.n_tokens,
+             b.boffset
+               + sum(t.n_tokens) OVER (PARTITION BY t.bucket
+                   ORDER BY t.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - t.n_tokens AS start_tok
+      FROM toks t JOIN bpre b USING (bucket)
+    )
+    SELECT doc_id, n_tokens,
+           CAST({div("start_tok", str(budget))} AS BIGINT) AS chunk_id,
+           CAST(start_tok % {budget} AS BIGINT) AS chunk_offset
+    FROM packed
+    """
+
+
+# -- deterministic mix sampling ----------------------------------------------
+
+# per-language keep rates in permille: the "rebalance the mix" pass —
+# downsample the dominant language, keep the rest (a real pipeline loads
+# these from its mix config; constants here keep the oracle deterministic)
+MIX_KEEP_PERMILLE: dict[str, int] = {"en": 700}
+MIX_DEFAULT_PERMILLE = 1000
+
+
+def mix_sample_sql(d: SqlDialect, rel: str = "documents") -> str:
+    """Deterministic stratified mix sampling: each document draws a
+    stable pseudo-random value from md5(doc_id) and is kept iff it lands
+    under its language's keep-rate — the data-mixing pass that reweights
+    sources/languages before training. Reproducible across engines,
+    cluster sizes and reruns (no RNG state); changing a weight only
+    flips membership for the affected stratum.
+
+    Scale shape: one per-row projection, no shuffle; the weights table
+    is a constant CASE here (broadcast-join a real mix-config dim at
+    scale)."""
+    draw = f"({d.hex_to_long(d.md5(d.to_string('doc_id')))} % 1000)"
+    whens = " ".join(
+        f"WHEN lang = {d.lit(k)} THEN {v}"
+        for k, v in MIX_KEEP_PERMILLE.items()
+    )
+    rate = f"(CASE {whens} ELSE {MIX_DEFAULT_PERMILLE} END)"
+    return f"""
+    SELECT doc_id, lang,
+           CAST({rate} AS INT) AS keep_permille,
+           {draw} < {rate} AS kept
+    FROM {rel}
+    """
+
+
 # -- vocabulary report -------------------------------------------------------
 VOCAB_TOP_N = 50
 

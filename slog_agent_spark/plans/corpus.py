@@ -98,6 +98,12 @@ exact_dedup_query, exact_dedup_oracle = _sql_query(
 band_index_query, band_index_oracle = _sql_query(
     dedup.band_index_sql, ("documents",)
 )
+pack_chunks_query, pack_chunks_oracle = _sql_query(
+    textops.pack_chunks_sql, ("documents",)
+)
+mix_sample_query, mix_sample_oracle = _sql_query(
+    textops.mix_sample_sql, ("documents",)
+)
 minhash_lsh_query, minhash_lsh_oracle = _staged_query(
     [("minhash_sigs", dedup.minhash_signatures_sql)],
     lambda d: dedup.minhash_pairs_from_sigs_sql(d, "minhash_sigs"),

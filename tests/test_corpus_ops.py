@@ -190,6 +190,56 @@ def test_dedup_groups_cc_cap_raises(spark):
         dedup_groups_from_pairs(spark, pairs, max_iters=3)
 
 
+def test_pack_chunks_matches_naive_cumsum(spark, duck, sf_dir):
+    """The distributed prefix-sum packing must equal the naive
+    single-window concat-and-chunk: start positions are the running
+    token sum in doc_id order, chunks cut every budget tokens."""
+    from slog_agent_spark.functions.dialect import DUCKDB
+    from slog_agent_spark.operators.textops import (
+        PACK_BUDGET_TOKENS, pack_chunks_sql, token_count_items,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in C.pack_chunks_query(spark, sf_dir).collect()
+    }
+    t = token_count_items(DUCKDB)["n_tokens"]
+    naive = duck.execute(f"""
+        SELECT doc_id,
+               coalesce(sum(n) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        FROM (SELECT doc_id, {t} AS n FROM documents)
+    """).fetchall()
+    assert len(naive) == len(rows) > 0
+    for doc_id, start in naive:
+        r = rows[doc_id]
+        assert r["chunk_id"] == start // PACK_BUDGET_TOKENS, doc_id
+        assert r["chunk_offset"] == start % PACK_BUDGET_TOKENS, doc_id
+    # chunks are contiguous: every id up to the max appears
+    chunk_ids = {r["chunk_id"] for r in rows.values()}
+    assert chunk_ids == set(range(max(chunk_ids) + 1))
+
+
+def test_mix_sample_rates_and_determinism(spark, sf_dir):
+    """Stratified mix sampling keeps ~the configured permille of the
+    downsampled language, all of the rest, and is stable across runs."""
+    from slog_agent_spark.operators.textops import MIX_KEEP_PERMILLE
+
+    rows = C.mix_sample_query(spark, sf_dir).collect()
+    again = C.mix_sample_query(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    by_lang: dict = {}
+    for r in rows:
+        tot, kept = by_lang.get(r["lang"], (0, 0))
+        by_lang[r["lang"]] = (tot + 1, kept + int(r["kept"]))
+    en_tot, en_kept = by_lang["en"]
+    rate = MIX_KEEP_PERMILLE["en"] / 1000
+    assert abs(en_kept / en_tot - rate) < 0.1, (en_kept, en_tot)
+    for lang, (tot, kept) in by_lang.items():
+        if lang != "en":
+            assert kept == tot, lang
+
+
 def test_repetition_and_gopher_gate_semantics(duck):
     """A spammy doc (repeated lines) fails the gate on the repetition
     rules; a normal doc passes (DuckDB-executed; dual-dialect parity is
