@@ -146,6 +146,25 @@ def main() -> None:
               ln.count("split(") <= 1 for ln in parse_filters
           ), "")
 
+    # 2c. sequence packing: the distributed prefix sum must shuffle the
+    # corpus-sized relation ONLY on bucket (within-bucket window); the
+    # single-partition window runs over the tiny bucket-totals relation.
+    pk = C.pack_chunks_query(spark, sf)
+    rawpk = plan_of(pk)
+    sections.append((
+        "sequence packing (`pack_chunks_query`)",
+        "Two-phase prefix sum: per-bucket totals (partial agg) → prefix "
+        "window over bucket totals only → within-bucket running sum "
+        "partitioned by bucket. A naive global-order cumsum would drag "
+        "the whole corpus through one partition.",
+        formatted(pk),
+    ))
+    check("pack: corpus window partitioned by bucket",
+          "hashpartitioning(bucket" in rawpk, "")
+    n_win = rawpk.count("Window ")
+    check("pack: exactly two windows (prefix + within-bucket)",
+          n_win == 2, f"{n_win} windows")
+
     # 3. column pruning evidence: a 2-column projection off the parse stage
     two = parse_transcripts(
         spark.read.parquet(f"{sf}/events.parquet").selectExpr(
