@@ -276,7 +276,14 @@ def compile_steps(state: _State, steps: list[dict], guard: str) -> None:
             # stringextractor.go). Measured ~2.5s/5M rows saved vs the
             # regexp_extract path. Falls back to one guarded regex for
             # the shapes where string ops can't replicate backtracking.
-            hit = raw = None
+            # matched_len (= pre + captured + suf bytes, valid under hit)
+            # is ARITHMETIC wherever the branch permits: a downstream
+            # consumer that prunes the destKey leaves matched_len as the
+            # only reference to `raw`, CollapseProject then inlines raw's
+            # definition, and `length(substr(...))` would COPY a
+            # substring per row just to measure it (UTF8String.substring
+            # allocates) — visible in the dropped-lineage codegen.
+            hit = raw = matched_len = None
             if chars is None and is_head:
                 # ^pre(.*?)suf  /  ^pre(.*)
                 if suf:
@@ -295,11 +302,13 @@ def compile_steps(state: _State, steps: list[dict], guard: str) -> None:
                             "''",
                         )
                     )
+                    matched_len = f"({p} - 1 + {len(suf)})"
                 else:
                     hit = state.tmp(_and(guard, d.starts_with(src, pre)))
                     raw = state.tmp(
                         d.if_(hit, d.substr(src, str(len(pre) + 1), d.length(src)), "''")
                     )
+                    matched_len = d.length(src)
             elif chars is None and not suf:
                 # pre(.*)$ — leftmost pre, rest captured
                 p = state.tmp(d.locate(pre, src))
@@ -307,6 +316,7 @@ def compile_steps(state: _State, steps: list[dict], guard: str) -> None:
                 raw = state.tmp(
                     d.if_(hit, d.substr(src, f"{p} + {len(pre)}", d.length(src)), "''")
                 )
+                matched_len = f"({d.length(src)} - {p} + 1)"
             elif chars is not None and not is_head and not suf:
                 # pre([set]*)$ — maximal trailing charset run after pre
                 trimmed = state.tmp(d.rtrim_chars(src, chars))
@@ -318,6 +328,7 @@ def compile_steps(state: _State, steps: list[dict], guard: str) -> None:
                         "''",
                     )
                 )
+                matched_len = f"({len(pre)} + {d.length(src)} - {d.length(trimmed)})"
             if hit is None:
                 checks = []
                 if is_head and pre:
@@ -328,7 +339,7 @@ def compile_steps(state: _State, steps: list[dict], guard: str) -> None:
                     checks.append(d.contains(src, pre))
                 hit = state.tmp(_and(guard, *checks, d.rlike(src, regex)))
                 raw = state.tmp(d.if_(hit, d.regexp_extract(src, regex, 1), "''"))
-            matched_len = f"({len(pre)} + {d.length(raw)} + {len(suf)})"
+                matched_len = f"({len(pre)} + {d.length(raw)} + {len(suf)})"
             if is_head:
                 cut = d.substr(src, f"{matched_len} + 1", d.length(src))
             else:
