@@ -457,13 +457,16 @@ def pii_scan_sql(d: SqlDialect, rel: str = "documents") -> str:
 
 
 # -- sequence packing (concat-and-chunk) -------------------------------------
-PACK_BUDGET_TOKENS = 2048     # context-window budget per training chunk
-PACK_BUCKET_DOCS = 64         # docs per prefix-sum bucket
+from ..plans.corpus_config import DEFAULT_CORPUS_PARAMS as _PACK_DEFAULTS
+
+PACK_BUDGET_TOKENS = _PACK_DEFAULTS.pack_budget_tokens
+PACK_BUCKET_DOCS = _PACK_DEFAULTS.pack_bucket_docs
 
 
 def pack_chunks_sql(
     d: SqlDialect, rel: str = "documents",
-    budget: int = PACK_BUDGET_TOKENS, bucket: int = PACK_BUCKET_DOCS,
+    budget: int | None = None, bucket: int | None = None,
+    params=None,
 ) -> str:
     """GPT-style sequence packing: concatenate documents in doc_id order
     and cut every ``budget`` tokens — each doc gets the training chunk
@@ -481,6 +484,9 @@ def pack_chunks_sql(
     single-window cumsum form would serialize the entire corpus through
     one partition.
     """
+    p = params or _PACK_DEFAULTS
+    budget = p.pack_budget_tokens if budget is None else budget
+    bucket = p.pack_bucket_docs if bucket is None else bucket
     t = token_count_items(d)["n_tokens"]
     div = d.int_div
     return f"""

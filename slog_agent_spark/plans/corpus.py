@@ -305,6 +305,9 @@ def build_corpus_queries(params):
         "dedup_band_index": _sql_query(
             lambda d: dedup.band_index_sql(d, params=params), ("documents",)
         ),
+        "corpus_pack_chunks": _sql_query(
+            lambda d: textops.pack_chunks_sql(d, params=params), ("documents",)
+        ),
         "dedup_minhash_lsh": _staged_query(
             [
                 (

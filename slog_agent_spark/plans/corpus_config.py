@@ -64,6 +64,12 @@ class CorpusParams:
     retention_min_distinct: float = 0.3
     retention_max_stopword: float = 0.2
 
+    # sequence packing (concat-and-chunk)
+    pack_budget_tokens: int = 2048  # context-window budget per chunk
+    pack_bucket_docs: int = 64      # docs per prefix-sum bucket; raise to
+    #                                 ~10^4 at 10^9 docs so the bucket-
+    #                                 totals window stays tiny
+
     def validate(self) -> "CorpusParams":
         p = "corpus"
         _require(self.minhash_k > 0, f"{p}.minhashK", "must be positive")
@@ -110,6 +116,10 @@ class CorpusParams:
         _require(self.kmeans_sample_mod >= 1, f"{p}.kmeansSampleMod",
                  "must be >= 1")
         _require(self.kmeans_iters >= 1, f"{p}.kmeansIters", "must be >= 1")
+        _require(self.pack_budget_tokens > 0, f"{p}.packBudgetTokens",
+                 "must be positive")
+        _require(self.pack_bucket_docs > 0, f"{p}.packBucketDocs",
+                 "must be positive")
         _require(self.retention_min_tokens >= 0, f"{p}.retentionMinTokens",
                  "must be >= 0")
         _require(0 <= self.retention_min_distinct <= 1,
@@ -138,6 +148,8 @@ _YAML_KEYS = {
     "trainedProbes": "trained_probes",
     "kmeansSampleMod": "kmeans_sample_mod",
     "kmeansIters": "kmeans_iters",
+    "packBudgetTokens": "pack_budget_tokens",
+    "packBucketDocs": "pack_bucket_docs",
     "retentionMinTokens": "retention_min_tokens",
     "retentionMinDistinct": "retention_min_distinct",
     "retentionMaxStopword": "retention_max_stopword",

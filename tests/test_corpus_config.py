@@ -141,6 +141,34 @@ def test_degenerate_simhash_sizing_rejected(yml, expect):
         parse_corpus_config(yml)
 
 
+def test_pack_params_are_live(spark, duck, sf_dir):
+    """Non-default packing budget/bucket flow into the generated SQL,
+    both engines agree, and the chunk grid actually changes."""
+    params = dataclasses.replace(
+        DEFAULT_CORPUS_PARAMS, pack_budget_tokens=512, pack_bucket_docs=16
+    ).validate()
+    from slog_agent_spark.operators.textops import pack_chunks_sql
+    from slog_agent_spark.functions.dialect import SPARK as SD
+
+    sql = pack_chunks_sql(SD, params=params)
+    assert "% 512" in sql and "16)" in sql
+
+    run, oracle = build_corpus_queries(params)["corpus_pack_chunks"]
+    df = run(spark, sf_dir)
+    assert_df_equals_oracle(df, duck, oracle())
+    small = {r["doc_id"]: r["chunk_id"] for r in df.collect()}
+    big = {
+        r["doc_id"]: r["chunk_id"]
+        for r in build_corpus_queries(DEFAULT_CORPUS_PARAMS)[
+            "corpus_pack_chunks"
+        ][0](spark, sf_dir).collect()
+    }
+    assert max(small.values()) > max(big.values())  # 512 cuts more chunks
+
+    with pytest.raises(ConfigError, match="packBudgetTokens"):
+        parse_corpus_config("corpus: {packBudgetTokens: 0}")
+
+
 def test_run_corpus_job_with_config_file(spark, duck, sf_dir, tmp_path):
     """The jobs/run_corpus.py --corpus-config path end to end: a
     non-default YAML file → load_corpus_config → run_ops writes parquet
