@@ -33,6 +33,10 @@ def main(argv: list[str]) -> int:
              "packaged flagship config",
     )
     ap.add_argument(
+        "--wire-salts", type=int, default=1,
+        help="sub-chunkers per hot tag for wire output (per-salt chunk-ID "
+             "suffix; see sinks/fluentd_wire.write_wire_chunks)")
+    ap.add_argument(
         "--wire-format", default=None, choices=["fluentd", "datadog", "both"],
         help="additionally write protocol wire chunks (msgpack/gzip "
              "fluentd forward, gzip JSON-array datadog) under "
@@ -86,7 +90,8 @@ def main(argv: list[str]) -> int:
                     fluentd_wire if kind == "fluentd" else datadog_wire
                 )
                 writer.write_wire_chunks(
-                    ev, wire_dir, event_col=f"{name}_event"
+                    ev, wire_dir, event_col=f"{name}_event",
+                    salts=args.wire_salts,
                 )
                 print(f"wire chunks ({kind}) -> {wire_dir}")
 

@@ -525,14 +525,15 @@ def pack_chunks_sql(
 
 # -- deterministic mix sampling ----------------------------------------------
 
-# per-language keep rates in permille: the "rebalance the mix" pass —
-# downsample the dominant language, keep the rest (a real pipeline loads
-# these from its mix config; constants here keep the oracle deterministic)
-MIX_KEEP_PERMILLE: dict[str, int] = {"en": 700}
-MIX_DEFAULT_PERMILLE = 1000
+# per-language keep rates in permille (config: corpus.mixKeepPermille /
+# mixDefaultPermille — downsample the dominant language, keep the rest)
+MIX_KEEP_PERMILLE: dict[str, int] = dict(_PACK_DEFAULTS.mix_keep_permille)
+MIX_DEFAULT_PERMILLE = _PACK_DEFAULTS.mix_default_permille
 
 
-def mix_sample_sql(d: SqlDialect, rel: str = "documents") -> str:
+def mix_sample_sql(
+    d: SqlDialect, rel: str = "documents", params=None,
+) -> str:
     """Deterministic stratified mix sampling: each document draws a
     stable pseudo-random value from md5(doc_id) and is kept iff it lands
     under its language's keep-rate — the data-mixing pass that reweights
@@ -543,12 +544,13 @@ def mix_sample_sql(d: SqlDialect, rel: str = "documents") -> str:
     Scale shape: one per-row projection, no shuffle; the weights table
     is a constant CASE here (broadcast-join a real mix-config dim at
     scale)."""
+    p = params or _PACK_DEFAULTS
+    keep = dict(p.mix_keep_permille)
     draw = f"({d.hex_to_long(d.md5(d.to_string('doc_id')))} % 1000)"
     whens = " ".join(
-        f"WHEN lang = {d.lit(k)} THEN {v}"
-        for k, v in MIX_KEEP_PERMILLE.items()
+        f"WHEN lang = {d.lit(k)} THEN {v}" for k, v in keep.items()
     )
-    rate = f"(CASE {whens} ELSE {MIX_DEFAULT_PERMILLE} END)"
+    rate = f"(CASE {whens} ELSE {p.mix_default_permille} END)"
     return f"""
     SELECT doc_id, lang,
            CAST({rate} AS INT) AS keep_permille,

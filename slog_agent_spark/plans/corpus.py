@@ -308,6 +308,9 @@ def build_corpus_queries(params):
         "corpus_pack_chunks": _sql_query(
             lambda d: textops.pack_chunks_sql(d, params=params), ("documents",)
         ),
+        "corpus_mix_sample": _sql_query(
+            lambda d: textops.mix_sample_sql(d, params=params), ("documents",)
+        ),
         "dedup_minhash_lsh": _staged_query(
             [
                 (

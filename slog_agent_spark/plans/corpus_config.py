@@ -70,6 +70,11 @@ class CorpusParams:
     #                                 ~10^4 at 10^9 docs so the bucket-
     #                                 totals window stays tiny
 
+    # deterministic mix sampling: lang -> keep rate in permille;
+    # languages absent from the mapping keep mix_default_permille
+    mix_keep_permille: tuple = (("en", 700),)
+    mix_default_permille: int = 1000
+
     def validate(self) -> "CorpusParams":
         p = "corpus"
         _require(self.minhash_k > 0, f"{p}.minhashK", "must be positive")
@@ -118,6 +123,16 @@ class CorpusParams:
         _require(self.kmeans_iters >= 1, f"{p}.kmeansIters", "must be >= 1")
         _require(self.pack_budget_tokens > 0, f"{p}.packBudgetTokens",
                  "must be positive")
+        for lang, permille in self.mix_keep_permille:
+            _require(
+                isinstance(permille, int) and 0 <= permille <= 1000,
+                f"{p}.mixKeepPermille.{lang}",
+                "must be an integer in [0, 1000]",
+            )
+        _require(
+            0 <= self.mix_default_permille <= 1000,
+            f"{p}.mixDefaultPermille", "must be in [0, 1000]",
+        )
         _require(self.pack_bucket_docs > 0, f"{p}.packBucketDocs",
                  "must be positive")
         _require(self.retention_min_tokens >= 0, f"{p}.retentionMinTokens",
@@ -149,6 +164,8 @@ _YAML_KEYS = {
     "kmeansSampleMod": "kmeans_sample_mod",
     "kmeansIters": "kmeans_iters",
     "packBudgetTokens": "pack_budget_tokens",
+    "mixKeepPermille": "mix_keep_permille",
+    "mixDefaultPermille": "mix_default_permille",
     "packBucketDocs": "pack_bucket_docs",
     "retentionMinTokens": "retention_min_tokens",
     "retentionMinDistinct": "retention_min_distinct",
@@ -173,7 +190,14 @@ def parse_corpus_config(text: str) -> CorpusParams:
     for key, value in section.items():
         _require(key in _YAML_KEYS, f"corpus.{key}", "unknown parameter")
         field_name = _YAML_KEYS[key]
-        if field_name in _FLOAT_FIELDS:
+        if field_name == "mix_keep_permille":
+            _require(
+                isinstance(value, dict)
+                and all(isinstance(k, str) for k in value),
+                f"corpus.{key}", f"must be a lang->permille mapping, got {value!r}",
+            )
+            updates[field_name] = tuple(sorted(value.items()))
+        elif field_name in _FLOAT_FIELDS:
             _require(isinstance(value, (int, float)), f"corpus.{key}",
                      f"must be a number, got {value!r}")
             updates[field_name] = float(value)

@@ -169,6 +169,26 @@ def test_pack_params_are_live(spark, duck, sf_dir):
         parse_corpus_config("corpus: {packBudgetTokens: 0}")
 
 
+def test_mix_params_are_live(spark, duck, sf_dir):
+    """YAML mix weights flow into the sampler: a 0-permille language is
+    fully dropped, the default rate applies elsewhere, engines agree."""
+    params = parse_corpus_config(
+        "corpus:\n  mixKeepPermille: {en: 0, es: 1000}\n"
+    )
+    assert dict(params.mix_keep_permille) == {"en": 0, "es": 1000}
+    run, oracle = build_corpus_queries(params)["corpus_mix_sample"]
+    df = run(spark, sf_dir)
+    assert_df_equals_oracle(df, duck, oracle())
+    rows = df.collect()
+    assert all(not r["kept"] for r in rows if r["lang"] == "en")
+    assert all(r["kept"] for r in rows if r["lang"] == "es")
+
+    with pytest.raises(ConfigError, match="mixKeepPermille"):
+        parse_corpus_config("corpus: {mixKeepPermille: {en: 2000}}")
+    with pytest.raises(ConfigError, match="must be a lang"):
+        parse_corpus_config("corpus: {mixKeepPermille: 700}")
+
+
 def test_run_corpus_job_with_config_file(spark, duck, sf_dir, tmp_path):
     """The jobs/run_corpus.py --corpus-config path end to end: a
     non-default YAML file → load_corpus_config → run_ops writes parquet
