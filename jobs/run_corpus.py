@@ -52,6 +52,8 @@ DOC_OPS = (
     "corpus_retention",
 )
 EMB_OPS = (
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
     "ann_topk_ivf_trained",
     "ann_topk_batch",
     "embedding_neardup_trained",
@@ -84,6 +86,8 @@ def registry(params=None):
         "dedup_simhash_neardup": C.simhash_neardup_query,
         "dedup_groups_cc": C.dedup_groups_query,
         "corpus_retention": C.corpus_retention_query,
+        "ann_topk_bruteforce": C.ann_bruteforce_query,
+        "ann_topk_ivf": C.ann_ivf_query,
         "ann_topk_ivf_trained": C.ann_ivf_trained_query,
         "ann_topk_batch": C.ann_topk_batch_query,
         "embedding_neardup_trained": C.emb_neardup_trained_query,
