@@ -483,6 +483,10 @@ def pack_chunks_sql(
     within-bucket running sum partitioned by bucket. The naive
     single-window cumsum form would serialize the entire corpus through
     one partition.
+
+    ``doc_id`` must be non-negative: integer division truncates toward
+    zero on Spark (``div``) but floors on DuckDB (``//``), so negative
+    ids would bucket differently across engines.
     """
     p = params or _PACK_DEFAULTS
     budget = p.pack_budget_tokens if budget is None else budget
