@@ -110,6 +110,11 @@ def run_ops(spark, data: str, output: str, ops, params=None) -> dict[str, int]:
     unknown = [o for o in ops if o not in reg]
     if unknown:
         raise ValueError(f"unknown ops: {unknown}; available: {sorted(reg)}")
+    # dedupe, order-preserving (round-4 ADVICE: a repeated op in --ops ran
+    # and wrote twice but reported only one counts entry, masking the
+    # duplicate work)
+    seen: set = set()
+    ops = [o for o in ops if not (o in seen or seen.add(o))]
     counts = {}
     for op in ops:
         df = reg[op](spark, data)

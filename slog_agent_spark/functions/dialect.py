@@ -67,10 +67,17 @@ class SqlDialect:
 
         Pattern goes through ``lit()`` — a bare f-string interpolation
         would be silently corrupted by Spark's literal escape processing
-        the moment the pattern grows a backslash (round-3 ADVICE)."""
+        the moment the pattern grows a backslash (round-3 ADVICE).
+
+        NULL input counts 0 on BOTH engines (round-4 ADVICE: Spark's
+        size() returns -1/NULL on a NULL array while DuckDB's len()
+        returns NULL — a NULL text row would break dual-dialect parity
+        of every count built on this). Normalized at the input: a NULL
+        column scans as the empty string, which has zero matches."""
+        inp = f"coalesce({col}, '')"
         if self.name == self.SPARK:
-            return f"size(regexp_extract_all({col}, {self.lit(pattern)}, 0))"
-        return f"len(regexp_extract_all({col}, {self.lit(pattern)}))"
+            return f"size(regexp_extract_all({inp}, {self.lit(pattern)}, 0))"
+        return f"len(regexp_extract_all({inp}, {self.lit(pattern)}))"
 
     def regexp_replace_all(self, col: str, pattern: str, replacement: str) -> str:
         """Replace ALL matches (Spark is global-only; DuckDB needs 'g').
@@ -217,6 +224,22 @@ class SqlDialect:
     def int_div(self, a: str, b: str) -> str:
         op = "div" if self.name == self.SPARK else "//"
         return f"(({a}) {op} ({b}))"
+
+    def floor_div(self, a: str, b: str) -> str:
+        """Integer division with FLOOR semantics, explicit on BOTH
+        engines: Spark's ``div`` truncates toward zero, and DuckDB's
+        integer ``//`` ALSO truncates (1.0.x; its float ``//`` floors —
+        exactly the kind of per-engine, per-type surprise worth never
+        depending on). The shared correction subtracts 1 when the
+        truncated quotient had a nonzero remainder and the operands'
+        signs differ — pure integer arithmetic on the already-computed
+        quotient/remainder (both engines' ``%`` take the dividend's
+        sign), no double-precision detour, exact at any BIGINT."""
+        op = "div" if self.name == self.SPARK else "//"
+        return (
+            f"((({a}) {op} ({b})) - (CASE WHEN (({a}) % ({b})) <> 0 "
+            f"AND ((({a}) < 0) <> (({b}) < 0)) THEN 1 ELSE 0 END))"
+        )
 
     def unix_micros(self, col: str) -> str:
         """Timestamp column → microseconds since epoch (BIGINT)."""

@@ -484,9 +484,11 @@ def pack_chunks_sql(
     single-window cumsum form would serialize the entire corpus through
     one partition.
 
-    ``doc_id`` must be non-negative: integer division truncates toward
-    zero on Spark (``div``) but floors on DuckDB (``//``), so negative
-    ids would bucket differently across engines.
+    ``doc_id`` may be any BIGINT: bucketing uses ``floor_div``, which
+    pins FLOOR semantics explicitly on both engines instead of trusting
+    either's native integer division (round-4 ADVICE; see
+    dialect.floor_div). The chunk cut uses plain ``int_div`` because
+    ``start_tok`` is a sum of non-negative token counts.
     """
     p = params or _PACK_DEFAULTS
     budget = p.pack_budget_tokens if budget is None else budget
@@ -496,7 +498,7 @@ def pack_chunks_sql(
     return f"""
     WITH toks AS (
       SELECT doc_id, CAST({t} AS BIGINT) AS n_tokens,
-             {div("doc_id", str(bucket))} AS bucket
+             {d.floor_div("doc_id", str(bucket))} AS bucket
       FROM {rel}
     ),
     bsum AS (

@@ -97,46 +97,19 @@ def write_wire_chunks(
 ) -> None:
     """Write Datadog wire chunks: ``<out>/<tag>/<id>.json.gz``, events
     in (conv_id, turn_idx) FIFO order within each (tag, salt) group —
-    same transactional shape as the fluentd wire writer: deterministic
-    chunk IDs (shared ``base_nano`` across task attempts), atomic
-    write-then-rename, and ``salts`` sub-chunkers per hot tag with the
-    reference's ID-suffix convention."""
-    import os
-    import time
+    same transactional shape as the fluentd wire writer (shared
+    ``run_wire_job`` body): deterministic chunk IDs (``base_nano``
+    captured once across task attempts), atomic write-then-rename,
+    ``salts`` sub-chunkers per hot tag with the reference's ID-suffix
+    convention, collision-safe tag directories, and cross-run stale
+    chunk/tag cleanup so a re-run replaces instead of accumulating."""
+    from .fluentd_wire import run_wire_job
 
-    import pandas as pd
-
-    from .fluentd_wire import atomic_write, deterministic_idgen, salt_column
-
-    if base_nano is None:
-        base_nano = time.time_ns()
-
-    def run_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        tag, salt = key
-        pdf = pdf.sort_values(["conv_id", "turn_idx"])
-        tag_dir = os.path.join(out_dir, tag.replace("/", "_"))
-        os.makedirs(tag_dir, exist_ok=True)
-        idgen = deterministic_idgen(base_nano, salt, salts)
-        rows = []
-        for cid, chunk, n_rec, n_raw in chunk_events(
-            pdf[event_col], max_bytes=max_bytes, max_records=max_records,
-            idgen=idgen,
-        ):
-            atomic_write(os.path.join(tag_dir, f"{cid}.json.gz"), chunk)
-            rows.append((tag, cid, n_rec, n_raw, len(chunk)))
-        return pd.DataFrame(
-            rows,
-            columns=["tag", "chunk_id", "records", "raw_bytes", "chunk_bytes"],
+    def chunker(_tag, events, idgen):
+        return chunk_events(
+            events, max_bytes=max_bytes, max_records=max_records, idgen=idgen,
         )
 
-    (
-        events_df.select("tag", "conv_id", "turn_idx", event_col)
-        .withColumn("salt", salt_column(salts))
-        .groupBy("tag", "salt")
-        .applyInPandas(
-            run_group,
-            "tag string, chunk_id string, records long, raw_bytes long, "
-            "chunk_bytes long",
-        )
-        .count()
+    run_wire_job(
+        events_df, out_dir, event_col, chunker, "json.gz", salts, base_nano
     )

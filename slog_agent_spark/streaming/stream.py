@@ -414,17 +414,19 @@ def run_stream_wire_sink(
 
 def wire_batch_handler(sink_dir: str, max_records: int = 0, salts: int = 1):
     """foreachBatch handler for the fluentd wire sink — exposed so tests
-    can replay a batch directly and assert the chunk set is unchanged."""
-    import shutil
+    can replay a batch directly and assert the chunk set is unchanged.
 
+    A prior failed attempt of THIS batch (possibly under a different
+    ``--salts``) is healed by the writer's own stale-chunk/stale-tag
+    cleanup (``fluentd_wire.run_wire_job``), which runs through the same
+    file API as the writes — the previous driver-side ``shutil.rmtree``
+    was a silent no-op wherever the driver does not mount the shared
+    sink storage (round-4 ADVICE)."""
     from ..plans.pipeline import events_for_outputs, transform_transcripts
     from ..sinks.fluentd_wire import write_wire_chunks
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_dir = f"{sink_dir}/batch={batch_id}"
-        # a prior failed attempt of THIS batch may have written under a
-        # different config or died mid-write; start from empty
-        shutil.rmtree(batch_dir, ignore_errors=True)
         ev = events_for_outputs(transform_transcripts(batch_df))
         ev = ev.withColumnRenamed("customFluentd_event", "fluentd_event")
         write_wire_chunks(

@@ -220,6 +220,57 @@ def test_pack_chunks_matches_naive_cumsum(spark, duck, sf_dir):
     assert chunk_ids == set(range(max(chunk_ids) + 1))
 
 
+def test_pack_chunks_negative_doc_ids_cross_engine(spark):
+    """Bucketing uses floor_div so negative synthetic doc_ids land in
+    the SAME, floor-semantics bucket on both engines (round-4 ADVICE;
+    the explicit correction means neither engine's native integer
+    division semantics are load-bearing)."""
+    import duckdb as _d
+    import pandas as pd
+
+    from slog_agent_spark.functions.dialect import DUCKDB, SPARK
+    from slog_agent_spark.operators.textops import pack_chunks_sql
+
+    pdf = pd.DataFrame(
+        [(i, "tok" + " x" * (abs(i) % 7)) for i in range(-25, 6)],
+        columns=["doc_id", "text"],
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("neg_docs")
+    s_rows = sorted(
+        map(tuple, spark.sql(pack_chunks_sql(SPARK, rel="neg_docs")).collect())
+    )
+    con = _d.connect()
+    con.register("neg_docs", pdf)
+    d_rows = sorted(
+        map(tuple, con.execute(pack_chunks_sql(DUCKDB, rel="neg_docs")).fetchall())
+    )
+    con.close()
+    assert len(s_rows) == len(pdf)
+    assert s_rows == d_rows
+
+
+def test_floor_div_parity(spark):
+    """floor_div == Python floor division on both engines across sign
+    combinations (the dialect primitive pack bucketing rests on)."""
+    import duckdb as _d
+
+    from slog_agent_spark.functions.dialect import DUCKDB, SPARK
+
+    cases = [(-25, 10), (-20, 10), (-1, 10), (0, 10), (1, 10), (25, 10),
+             (-7, 3), (7, -3), (-7, -3)]
+    con = _d.connect()
+    for a, b in cases:
+        want = a // b
+        got_s = spark.sql(
+            f"SELECT {SPARK.floor_div(str(a), str(b))} AS v"
+        ).first()["v"]
+        got_d = con.execute(
+            f"SELECT {DUCKDB.floor_div(str(a), str(b))} AS v"
+        ).fetchone()[0]
+        assert got_s == got_d == want, (a, b, got_s, got_d, want)
+    con.close()
+
+
 def test_mix_sample_rates_and_determinism(spark, sf_dir):
     """Stratified mix sampling keeps ~the configured permille of the
     downsampled language, all of the rest, and is stable across runs."""

@@ -220,3 +220,23 @@ def test_glob_predicate_property(duck):
             for _ in range(12)
         ]
         _glob_agree(duck, pattern, values)
+
+
+def test_regexp_count_null_parity(spark, duck):
+    """NULL input counts 0 on BOTH engines (round-4 ADVICE: Spark's
+    size(regexp_extract_all(NULL, ...)) and DuckDB's len(...) disagree
+    on NULL — which would break pii_scan parity on a NULL text row)."""
+    from slog_agent_spark.functions.dialect import DUCKDB, SPARK
+
+    for value in ["NULL", "'a@b a@c'", "''"]:
+        s = spark.sql(
+            f"SELECT {SPARK.regexp_count(value, '@')} AS n"
+        ).first()["n"]
+        d = duck.execute(
+            f"SELECT {DUCKDB.regexp_count(value, '@')} AS n"
+        ).fetchone()[0]
+        assert s == d, (value, s, d)
+        assert (s or 0) >= 0
+    assert spark.sql(
+        f"SELECT {SPARK.regexp_count('NULL', '@')} AS n"
+    ).first()["n"] == 0
