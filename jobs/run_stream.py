@@ -14,8 +14,9 @@ watermarked, pipeline/wire/neardup are foreachBatch exactly-once):
     pipeline   full parse→transform→route through foreachBatch, per-tag
                parquet sinks (exactly-once via checkpoint + idempotent
                batch overwrites)
-    wire       full pipeline with REAL fluentd forward-protocol output:
-               msgpack events in gzip chunks per (batch, tag)
+    wire       full pipeline with REAL protocol output per (batch, tag):
+               fluentd forward msgpack/gzip chunks (default) or datadog
+               gzip JSON-array intake bodies (--wire-format datadog)
     sessions   per-conversation gap sessionization (session_window)
     neardup    incremental MinHash-LSH near-dup over a DOCUMENT stream
                (doc_id, text): per-batch signatures joined against the
@@ -46,6 +47,9 @@ def main(argv: list[str]) -> int:
                              "dedup", "counters"])
     ap.add_argument("--salts", type=int, default=1,
                     help="wire mode: sub-chunkers per hot tag")
+    ap.add_argument("--wire-format", default="fluentd",
+                    choices=["fluentd", "datadog"],
+                    help="wire mode: output protocol")
     ap.add_argument("--drain", action="store_true",
                     help="availableNow trigger: drain existing input, exit")
     args = ap.parse_args(argv)
@@ -62,10 +66,11 @@ def main(argv: list[str]) -> int:
             )
             return 0
         if args.mode == "wire":
-            # fluentd CompressedPackedForward chunks per (batch, tag)
+            # protocol chunks per (batch, tag): fluentd
+            # CompressedPackedForward or datadog gzip JSON-array
             S.run_stream_wire_sink(
                 spark, args.input, args.output, args.checkpoint,
-                salts=args.salts,
+                salts=args.salts, wire_format=args.wire_format,
             )
             return 0
         if args.mode == "neardup":

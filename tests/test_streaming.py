@@ -227,6 +227,53 @@ def test_wire_batch_replay_no_duplicates(spark, sf_dir):
                 dec(fh.read())
 
 
+def test_datadog_wire_batch_replay_no_duplicates(spark, sf_dir):
+    """The datadog streaming wire sink (same transactional machinery as
+    fluentd, selected via wire_format): replaying a micro-batch
+    regenerates the byte-identical chunk set, a partial prior attempt
+    heals, and every chunk decodes to serializer-golden-shaped events
+    covering exactly the batch's non-dropped rows."""
+    import glob as globmod
+    import hashlib
+    import os
+
+    from slog_agent_spark.plans.pipeline import transform_transcripts
+    from slog_agent_spark.sinks.datadog_wire import decode_chunk as dec
+    from slog_agent_spark.streaming.stream import wire_batch_handler
+
+    t = transcripts_df(spark, sf_dir)
+    n_events = transform_transcripts(t).where("NOT dropped").count()
+    with tempfile.TemporaryDirectory() as work:
+        handler = wire_batch_handler(
+            f"{work}/sink", max_records=100, salts=2, wire_format="datadog"
+        )
+        handler(t, 7)
+
+        def snap():
+            out = {}
+            for f in globmod.glob(f"{work}/sink/batch=7/*/*.json.gz"):
+                with open(f, "rb") as fh:
+                    out[os.path.relpath(f, work)] = hashlib.md5(
+                        fh.read()
+                    ).hexdigest()
+            return out
+
+        first = snap()
+        assert first
+        os.remove(os.path.join(work, sorted(first)[0]))
+        handler(t, 7)  # the replay
+        assert snap() == first
+        total = 0
+        for f in globmod.glob(f"{work}/sink/batch=7/*/*.json.gz"):
+            with open(f, "rb") as fh:
+                events = dec(fh.read())
+            assert len(events) <= 100
+            for ev in events:
+                assert "ddsource" in ev and "ddtags" in ev
+            total += len(events)
+        assert total == n_events
+
+
 def test_streaming_neardup_equals_batch(spark, sf_dir):
     """Incremental MinHash-LSH: after draining the documents corpus in
     micro-batches, the accumulated pair store equals the batch LSH pair
