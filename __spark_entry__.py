@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab_top": C.vocab_top_query,
         "corpus_contamination": C.contamination_query,
         "corpus_retention": C.corpus_retention_query,
+        "corpus_training_cut": C.corpus_training_cut_query,
         "multimodal_feature_extract": lambda spark, sf: _mm_features(spark, sf),
         "multimodal_frame_sample": lambda spark, sf: _mm_frames(spark, sf),
     }
@@ -187,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_vocab_top": C.vocab_top_oracle(),
         "corpus_contamination": C.contamination_oracle(),
         "corpus_retention": C.corpus_retention_oracle(),
+        "corpus_training_cut": C.corpus_training_cut_oracle(),
         "multimodal_feature_extract": _mm_oracle(),
         "multimodal_frame_sample": _mm_frames_oracle(),
     }

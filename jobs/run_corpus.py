@@ -50,6 +50,7 @@ DOC_OPS = (
     "dedup_simhash_neardup",
     "dedup_groups_cc",
     "corpus_retention",
+    "corpus_training_cut",
 )
 EMB_OPS = (
     "ann_topk_bruteforce",
@@ -86,6 +87,7 @@ def registry(params=None):
         "dedup_simhash_neardup": C.simhash_neardup_query,
         "dedup_groups_cc": C.dedup_groups_query,
         "corpus_retention": C.corpus_retention_query,
+        "corpus_training_cut": C.corpus_training_cut_query,
         "ann_topk_bruteforce": C.ann_bruteforce_query,
         "ann_topk_ivf": C.ann_ivf_query,
         "ann_topk_ivf_trained": C.ann_ivf_trained_query,

@@ -618,6 +618,86 @@ def corpus_retention_sql(
     )
 
 
+# -- training cut: retention → mix → pack, one composed job ------------------
+
+
+def training_cut_tail_sql(
+    d: SqlDialect, docs_rel: str, retention_rel: str,
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
+) -> str:
+    """The tail of the training-cut composite, from a (materialized)
+    retention relation (``corpus_retention_final`` columns) to the final
+    per-document answer: mix-sample the retained set, SEQUENCE-PACK the
+    selected documents (retained AND mix-kept, in doc_id order), and
+    emit one row per input document — the keep decisions plus, for
+    selected docs, their training-chunk position (a -1 sentinel
+    otherwise; NULLs would poison downstream sorts and the driver's
+    row-tuple compare).
+
+    This is the query a pretraining-data user runs end-to-end: which
+    docs survive dedup+quality, which survive the language mix, and
+    where each survivor lands in the packed token stream.
+
+    Scale shape: the mix draw is a per-row projection; the selected set
+    feeds the same distributed-prefix-sum packing as the standalone
+    operator (textops.pack_ctes — bucket totals, tiny prefix window,
+    within-bucket running sum; never a global-order window); the final
+    assembly is doc_id equi-joins. Nothing rescans text beyond the two
+    projections (quality in retention, token counts in pack).
+    """
+    from .textops import mix_sample_sql, pack_ctes, pack_final
+
+    budget = params.pack_budget_tokens
+    bucket = params.pack_bucket_docs
+    return f"""tc_mix AS ({mix_sample_sql(d, docs_rel, params)}),
+    tc_sel AS (
+      SELECT dd.doc_id, dd.text
+      FROM {docs_rel} dd
+      JOIN {retention_rel} r ON r.doc_id = dd.doc_id AND r.kept
+      JOIN tc_mix m ON m.doc_id = dd.doc_id AND m.kept
+    ),
+    {pack_ctes(d, "tc_sel", budget, bucket)},
+    tc_pack AS ({pack_final(d, budget)})
+    SELECT dd.doc_id,
+           r.kept AS retained,
+           m.kept AS mix_kept,
+           (r.kept AND m.kept) AS selected,
+           coalesce(p.n_tokens, -1) AS n_tokens,
+           coalesce(p.chunk_id, -1) AS chunk_id,
+           coalesce(p.chunk_offset, -1) AS chunk_offset
+    FROM {docs_rel} dd
+    JOIN {retention_rel} r ON r.doc_id = dd.doc_id
+    JOIN tc_mix m ON m.doc_id = dd.doc_id
+    LEFT JOIN tc_pack p ON p.doc_id = dd.doc_id
+    """
+
+
+def training_cut_from_parts_sql(
+    d: SqlDialect, docs_rel: str, retention_rel: str,
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
+) -> str:
+    """Training cut over a MATERIALIZED retention relation (the staged
+    Spark form — signatures/pairs/retention each computed once)."""
+    return f"WITH {training_cut_tail_sql(d, docs_rel, retention_rel, params)}"
+
+
+def training_cut_sql(
+    d: SqlDialect, docs_rel: str = "documents",
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
+) -> str:
+    """Single-SQL (oracle) form of the training cut: the full
+    retention composition (``corpus_retention_sql``) extended with the
+    mix/pack tail — one statement DuckDB can run."""
+    return (
+        f"WITH sig0 AS ({minhash_signatures_sql(d, docs_rel, params)}), "
+        + minhash_pairs_ctes(d, "sig0", params)
+        + f", pairs AS ({minhash_pairs_final(d, params.jaccard_threshold)}), "
+        + corpus_retention_ctes(d, docs_rel, "pairs")
+        + f", tc_retention AS ({corpus_retention_final(d, params)}), "
+        + training_cut_tail_sql(d, docs_rel, "tc_retention", params)
+    )
+
+
 # -- transitive duplicate groups (connected components) ----------------------
 # Fixed round budget for the single-SQL DuckDB oracle form (exact iff the
 # data's components reach fixpoint within it — asserted on the fixture).

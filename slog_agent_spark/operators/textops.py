@@ -493,10 +493,15 @@ def pack_chunks_sql(
     p = params or _PACK_DEFAULTS
     budget = p.pack_budget_tokens if budget is None else budget
     bucket = p.pack_bucket_docs if bucket is None else bucket
+    return f"WITH {pack_ctes(d, rel, budget, bucket)} {pack_final(d, budget)}"
+
+
+def pack_ctes(d: SqlDialect, rel: str, budget: int, bucket: int) -> str:
+    """The packing CTE chain (``toks``/``bsum``/``bpre``/``packed``),
+    split out so composite queries (``dedup.training_cut_sql``) can run
+    packing over a FILTERED document relation inside a larger WITH."""
     t = token_count_items(d)["n_tokens"]
-    div = d.int_div
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id, CAST({t} AS BIGINT) AS n_tokens,
              {d.floor_div("doc_id", str(bucket))} AS bucket
       FROM {rel}
@@ -521,11 +526,16 @@ def pack_chunks_sql(
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                - t.n_tokens AS start_tok
       FROM toks t JOIN bpre b USING (bucket)
-    )
+    )"""
+
+
+def pack_final(d: SqlDialect, budget: int, packed_rel: str = "packed") -> str:
+    div = d.int_div
+    return f"""
     SELECT doc_id, n_tokens,
            CAST({div("start_tok", str(budget))} AS BIGINT) AS chunk_id,
            CAST(start_tok % {budget} AS BIGINT) AS chunk_offset
-    FROM packed
+    FROM {packed_rel}
     """
 
 

@@ -291,6 +291,26 @@ corpus_retention_query, corpus_retention_oracle = _staged_query(
 )
 
 
+corpus_training_cut_query, corpus_training_cut_oracle = _staged_query(
+    [
+        ("minhash_sigs", dedup.minhash_signatures_sql),
+        (
+            "minhash_pairs",
+            lambda d: dedup.minhash_pairs_from_sigs_sql(d, "minhash_sigs"),
+        ),
+        (
+            "tc_retention",
+            lambda d: dedup.corpus_retention_from_pairs_sql(
+                d, "documents", "minhash_pairs"
+            ),
+        ),
+    ],
+    lambda d: dedup.training_cut_from_parts_sql(d, "documents", "tc_retention"),
+    dedup.training_cut_sql,
+    ("documents",),
+)
+
+
 def build_corpus_queries(params):
     """Param-bound (run, oracle) pairs for every corpus operator with
     configurable sketch/index sizing (plans/corpus_config.CorpusParams
@@ -416,6 +436,31 @@ def build_corpus_queries(params):
             ("embeddings",),
         ),
         "dedup_groups_cc": _cc_pair(params),
+        "corpus_training_cut": _staged_query(
+            [
+                (
+                    "minhash_sigs",
+                    lambda d: dedup.minhash_signatures_sql(d, params=params),
+                ),
+                (
+                    "minhash_pairs",
+                    lambda d: dedup.minhash_pairs_from_sigs_sql(
+                        d, "minhash_sigs", params
+                    ),
+                ),
+                (
+                    "tc_retention",
+                    lambda d: dedup.corpus_retention_from_pairs_sql(
+                        d, "documents", "minhash_pairs", params
+                    ),
+                ),
+            ],
+            lambda d: dedup.training_cut_from_parts_sql(
+                d, "documents", "tc_retention", params
+            ),
+            lambda d: dedup.training_cut_sql(d, params=params),
+            ("documents",),
+        ),
         "corpus_retention": _staged_query(
             [
                 (

@@ -291,6 +291,50 @@ def test_mix_sample_rates_and_determinism(spark, sf_dir):
             assert kept == tot, lang
 
 
+def test_training_cut_composes_retention_mix_pack(spark, sf_dir):
+    """The training-cut capstone equals its parts: selected == retention
+    kept AND mix kept; pack positions over the selected set match the
+    standalone packing operator run on exactly those documents;
+    unselected docs carry the -1 sentinel."""
+    from slog_agent_spark.functions.dialect import SPARK
+    from slog_agent_spark.operators.textops import pack_chunks_sql
+
+    cut = {r["doc_id"]: r for r in
+           C.corpus_training_cut_query(spark, sf_dir).collect()}
+    retention = {r["doc_id"]: r["kept"] for r in
+                 C.corpus_retention_query(spark, sf_dir).collect()}
+    mix = {r["doc_id"]: r["kept"] for r in
+           C.mix_sample_query(spark, sf_dir).collect()}
+    assert set(cut) == set(retention) == set(mix)
+    selected_ids = set()
+    for doc_id, r in cut.items():
+        assert r["retained"] == retention[doc_id]
+        assert r["mix_kept"] == mix[doc_id]
+        assert r["selected"] == (retention[doc_id] and mix[doc_id])
+        if r["selected"]:
+            selected_ids.add(doc_id)
+            assert r["chunk_id"] >= 0 and r["chunk_offset"] >= 0
+        else:
+            assert (r["n_tokens"], r["chunk_id"], r["chunk_offset"]) \
+                == (-1, -1, -1)
+    assert selected_ids and selected_ids != set(cut)
+    # pack parity: standalone packing over exactly the selected docs
+    sel_list = ",".join(str(i) for i in sorted(selected_ids))
+    spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        f"doc_id IN ({sel_list})"
+    ).createOrReplaceTempView("_sel_docs")
+    standalone = {
+        r["doc_id"]: r
+        for r in spark.sql(pack_chunks_sql(SPARK, rel="_sel_docs")).collect()
+    }
+    assert set(standalone) == selected_ids
+    for doc_id in selected_ids:
+        got, want = cut[doc_id], standalone[doc_id]
+        assert (got["n_tokens"], got["chunk_id"], got["chunk_offset"]) == (
+            want["n_tokens"], want["chunk_id"], want["chunk_offset"]
+        ), doc_id
+
+
 def test_repetition_and_gopher_gate_semantics(duck):
     """A spammy doc (repeated lines) fails the gate on the repetition
     rules; a normal doc passes (DuckDB-executed; dual-dialect parity is

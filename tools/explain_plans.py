@@ -165,6 +165,29 @@ def main() -> None:
     check("pack: exactly two windows (prefix + within-bucket)",
           n_win == 2, f"{n_win} windows")
 
+    # 2d. training cut: retention → mix → pack composed into one job;
+    # the final plan must READ the materialized retention stage —
+    # signatures/pairs/retention are each computed once, never re-derived
+    # inside the composite (the staged-materialization contract).
+    tc = C.corpus_training_cut_query(spark, sf)
+    rawtc = plan_of(tc)
+    sections.append((
+        "training cut (`corpus_training_cut_query`)",
+        "Retention (dedup + quality) → deterministic mix sample → "
+        "sequence packing over the selected set, as ONE job. Signatures, "
+        "pairs and retention verdicts are materialized stages; the final "
+        "plan joins them and adds only the per-row mix draw and the "
+        "two-window packing prefix sum.",
+        formatted(tc),
+    ))
+    check("training-cut: no cartesian/nested-loop",
+          "Cartesian" not in rawtc and "NestedLoop" not in rawtc, "")
+    check("training-cut: reads materialized retention (no sig recompute)",
+          "ExistingRDD" in rawtc and "array_join" not in rawtc, "")
+    n_win_tc = rawtc.count("Window ")
+    check("training-cut: exactly two windows (packing prefix sum only)",
+          n_win_tc == 2, f"{n_win_tc} windows")
+
     # 3. column pruning evidence: a 2-column projection off the parse stage
     two = parse_transcripts(
         spark.read.parquet(f"{sf}/events.parquet").selectExpr(
