@@ -20,8 +20,12 @@ watermarked, pipeline/wire/neardup are foreachBatch exactly-once):
     sessions   per-conversation gap sessionization (session_window)
     neardup    incremental MinHash-LSH near-dup over a DOCUMENT stream
                (doc_id, text): per-batch signatures joined against the
-               materialized band store; pair/sig/band stores under
+               bucketed band store (partition-pruned lookups; signature
+               fetch pruned to candidates); pair/sig/band stores under
                --output, exactly-once per batch partition
+    neardup-compact  fold the near-dup store's committed per-batch
+               partitions into the bounded base partition (run between
+               drains; --output = the store dir)
     dedup      at-least-once redelivery guard
                (dropDuplicatesWithinWatermark on conv_id/turn_idx)
     counters   event-time windowed per-role counters
@@ -43,8 +47,8 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--mode", default="pipeline",
-                    choices=["pipeline", "wire", "neardup", "sessions",
-                             "dedup", "counters"])
+                    choices=["pipeline", "wire", "neardup", "neardup-compact",
+                             "sessions", "dedup", "counters"])
     ap.add_argument("--salts", type=int, default=1,
                     help="wire mode: sub-chunkers per hot tag")
     ap.add_argument("--wire-format", default="fluentd",
@@ -77,6 +81,14 @@ def main(argv: list[str]) -> int:
             S.run_stream_neardup(
                 spark, args.input, args.output, args.checkpoint
             )
+            return 0
+        if args.mode == "neardup-compact":
+            # between drains (never concurrently with the stream): fold
+            # committed per-batch store partitions into the bounded base
+            report = S.compact_neardup_store(spark, args.output)
+            for table, r in report.items():
+                print(f"compacted {table}: {r['rows']} rows, "
+                      f"{r['files_before']} -> {r['files_after']} files")
             return 0
 
         src = S.stream_transcripts(spark, args.input)
