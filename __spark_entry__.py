@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             C.exact_dedup_query(spark, sf)
         ),
         "dedup_minhash_lsh": C.minhash_lsh_query,
+        "dedup_minhash_lsh_salted": C.minhash_lsh_salted_query,
         "dedup_band_index": C.band_index_query,
         "corpus_pack_chunks": C.pack_chunks_query,
         "corpus_mix_sample": C.mix_sample_query,
@@ -166,6 +167,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": C.fingerprint_oracle(),
         "dedup_exact": C.exact_dedup_oracle(),
         "dedup_minhash_lsh": C.minhash_lsh_oracle(),
+        "dedup_minhash_lsh_salted": C.minhash_lsh_salted_oracle(),
         "dedup_band_index": C.band_index_oracle(),
         "corpus_pack_chunks": C.pack_chunks_oracle(),
         "corpus_mix_sample": C.mix_sample_oracle(),

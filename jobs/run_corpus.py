@@ -45,6 +45,7 @@ DOC_OPS = (
     "corpus_contamination",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_salted",
     "dedup_band_index",
     "dedup_ngram_jaccard",
     "dedup_simhash_neardup",
@@ -82,6 +83,7 @@ def registry(params=None):
         "corpus_contamination": C.contamination_query,
         "dedup_exact": C.exact_dedup_query,
         "dedup_minhash_lsh": C.minhash_lsh_query,
+        "dedup_minhash_lsh_salted": C.minhash_lsh_salted_query,
         "dedup_band_index": C.band_index_query,
         "dedup_ngram_jaccard": C.ngram_jaccard_query,
         "dedup_simhash_neardup": C.simhash_neardup_query,

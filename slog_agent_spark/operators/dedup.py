@@ -233,6 +233,92 @@ def minhash_pairs_from_sigs_sql(
     )
 
 
+def minhash_pairs_salted_sql(
+    d: SqlDialect, sigs_rel: str, salt_blocks: int = 8,
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
+) -> str:
+    """Stage 2 of MinHash-LSH with a BLOCK-SALTED candidate self-join —
+    the hot-bucket mitigation. Same verified pairs as
+    :func:`minhash_pairs_from_sigs_sql` (tested + oracle-gated against
+    the plain form); only physical placement changes.
+
+    Why it exists: an LSH hot bucket (K near-identical docs sharing a
+    band key) makes the candidate self-join OUTPUT-quadratic in one
+    task — and neither Spark mitigation applies: AQE's skew-join split
+    never fires because (a) both join sides read the SAME reused
+    exchange, which AQE refuses to split, and (b) skew detection
+    measures COMPRESSED shuffle bytes, and thousands of identical band
+    rows compress below any threshold (both verified empirically,
+    tools/skew_bench.py). So the fix must be semantic.
+
+    Block decomposition: each banded row gets a block id ``blk =
+    hash(doc_id) % S`` and is replicated once per partner block ``t``.
+    A pair (x, y) with blocks (sx, sy) matches exactly once — where
+    ``a.t = b.blk AND b.t = a.blk`` (a carries (sx, t=sy), b carries
+    (sy, t=sx)) — so the hot bucket's K² work spreads across S² join
+    key groups instead of one, at the cost of S× replicating the small
+    (doc_id, band) rows. Measured at K=4000 hot docs, local[32]:
+    16.1s plain → 8.4s S=4 → 5.6s S=8 with identical candidates
+    (BENCH/SKEW.md). Choose S ≈ ceil(max_bucket_occupancy² /
+    target_rows_per_task)^(1/2); the ``dedup_band_index`` occupancy
+    view is the monitor. At corpus scale, run the plain join for the
+    long tail and this form only for buckets above an occupancy cap.
+    """
+    return (
+        f"WITH {minhash_salted_ctes(d, sigs_rel, salt_blocks, params)} "
+        + minhash_pairs_final(d, params.jaccard_threshold)
+    )
+
+
+def minhash_salted_ctes(
+    d: SqlDialect, sigs_rel: str, salt_blocks: int = 8,
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
+) -> str:
+    """CTE chain for the block-salted candidate join (see
+    :func:`minhash_pairs_salted_sql`); split out so the skew bench can
+    time the ``candidates`` stage in isolation."""
+    bands = band_exprs(d, params)
+    band_sel = ", ".join(f"{e} AS {k}" for k, e in bands.items())
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, '{b}' AS band_id, {b} AS band_key FROM sigs"
+        for b in bands
+    )
+    h = d.hex_to_long(d.md5(d.to_string("doc_id")))
+    blk = f"CAST(({h} % {salt_blocks}) AS INT)"
+    if d.name == d.SPARK:
+        repl = (
+            "SELECT doc_id, band_id, band_key, blk, t FROM blocked "
+            f"LATERAL VIEW explode(sequence(0, {salt_blocks - 1})) x AS t"
+        )
+    else:
+        repl = (
+            "SELECT doc_id, band_id, band_key, blk, t FROM blocked, "
+            f"(SELECT unnest(generate_series(0, {salt_blocks - 1})) AS t)"
+        )
+    jac = jaccard_expr(d, "a.shingle_set", "b.shingle_set")
+    fence = d.fence_field()
+    return f"""
+    sigs AS (SELECT doc_id, shingle_set, {band_sel} FROM {sigs_rel}),
+    banded AS ({band_rows}),
+    blocked AS (
+      SELECT doc_id, band_id, band_key, {blk} AS blk FROM banded
+    ),
+    replicated AS ({repl}),
+    candidates AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM replicated a JOIN replicated b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.t = b.blk AND b.t = a.blk
+       AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, {jac} AS jaccard{fence}
+      FROM candidates c
+      JOIN {sigs_rel} a ON a.doc_id = c.doc_a
+      JOIN {sigs_rel} b ON b.doc_id = c.doc_b
+    )"""
+
+
 def minhash_lsh_pairs_sql(
     d: SqlDialect, docs_rel: str = "documents",
     params: CorpusParams = DEFAULT_CORPUS_PARAMS,

@@ -110,6 +110,15 @@ minhash_lsh_query, minhash_lsh_oracle = _staged_query(
     dedup.minhash_lsh_pairs_sql,
     ("documents",),
 )
+# block-salted candidate join (hot-bucket mitigation) — same pairs by
+# construction, so the oracle IS the plain single-SQL form: the gate
+# proves the salting is placement-only
+minhash_lsh_salted_query, minhash_lsh_salted_oracle = _staged_query(
+    [("minhash_sigs", dedup.minhash_signatures_sql)],
+    lambda d: dedup.minhash_pairs_salted_sql(d, "minhash_sigs"),
+    dedup.minhash_lsh_pairs_sql,
+    ("documents",),
+)
 simhash_query, simhash_oracle = _sql_query(
     dedup.simhash_groups_sql, ("documents",)
 )

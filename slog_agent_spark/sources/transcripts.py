@@ -124,15 +124,26 @@ def _body_sql(d: _Dialect, eid: str) -> str:
 
 
 def transcripts_select_sql(
-    d: _Dialect, events_rel: str = "events", explode: int = 1
+    d: _Dialect, events_rel: str = "events", explode: int = 1,
+    hot_permille: int = 0,
 ) -> str:
     """The full events → transcripts derivation in the given dialect.
 
     ``explode`` multiplies the row count (each event yields ``explode``
     turns) for benchmarking at larger-than-events scale; turn identity
     stays deterministic via ``eid = event_id * explode + rep``.
+
+    ``hot_permille`` is the SKEW knob (bench-only; default 0 = the
+    uniform distribution every correctness oracle uses): that ‰ of rows
+    collapse onto ONE orchestration keyset — app ``appServ``, severity
+    6 (level ``info``), source ``main.log`` (no task → empty ``pnum``)
+    — producing a deliberately Zipf-hot tag/keyset so the salted
+    repartition's effect on shuffle skew is measurable
+    (tools/skew_bench.py). The reference's analogue is its per-keyset
+    queue fairness under hot keys (reference: DESIGN.md:46-48).
     """
     assert explode >= 1
+    assert 0 <= hot_permille < 1000
     if explode == 1:
         exploded = f"SELECT event_id * 1 AS eid, user_id, ts FROM {events_rel}"
     elif d.name == "spark":
@@ -148,8 +159,12 @@ def transcripts_select_sql(
     eid = "eid"
     sev = f"({eid} % 8)"
     fac = f"({eid} % 3)"
-    pri = f"({fac} * 8 + {sev})"
     app = d.arr(APPS, f"{eid} % 4")
+    if hot_permille:
+        hot = f"({eid} % 1000 < {hot_permille})"
+        sev = f"(CASE WHEN {hot} THEN 6 ELSE {eid} % 8 END)"
+        app = f"(CASE WHEN {hot} THEN 'appServ' ELSE {app} END)"
+    pri = f"({fac} * 8 + {sev})"
     vhost = d.arr(VHOSTS, "user_id % 4")
     host = f"'host-' || {d.s('user_id % 7')}"
     pid = d.s(f"100 + ({eid} % 900)")
@@ -161,6 +176,8 @@ def transcripts_select_sql(
         WHEN {eid} % 7 < 6 THEN 'auth.log'
         ELSE 'cron.log:123e4567-e89b-12d3-a456-4266141740' || lpad({d.s(f'{eid} % 100')}, 2, '0')
       END"""
+    if hot_permille:
+        source = f"CASE WHEN {hot} THEN 'main.log' ELSE ({source}) END"
     conv_bucket = f"""CASE WHEN {eid} % 10 < 3 THEN user_id % {N_HOT_CONVS}
                        ELSE {N_HOT_CONVS} + (user_id % {N_COLD_CONVS}) END"""
     body = _body_sql(d, eid)
@@ -189,13 +206,17 @@ def transcripts_select_sql(
     """
 
 
-def transcripts_df(spark: SparkSession, sf_dir: str, explode: int = 1) -> DataFrame:
+def transcripts_df(
+    spark: SparkSession, sf_dir: str, explode: int = 1, hot_permille: int = 0
+) -> DataFrame:
     """Load events parquet and derive the transcript table (Spark side)."""
     spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
         "__slog_events"
     )
     return spark.sql(
-        transcripts_select_sql(_Dialect("spark"), "__slog_events", explode)
+        transcripts_select_sql(
+            _Dialect("spark"), "__slog_events", explode, hot_permille
+        )
     )
 
 

@@ -15,6 +15,10 @@ PAIRS = [
     ("fingerprint", C.fingerprint_query, C.fingerprint_oracle),
     ("exact_dedup", C.exact_dedup_query, C.exact_dedup_oracle),
     ("minhash_lsh", C.minhash_lsh_query, C.minhash_lsh_oracle),
+    # the salted form's oracle IS the plain single-SQL pairs query, so
+    # this parity row pins "salting is placement-only" on the fixture
+    ("minhash_lsh_salted", C.minhash_lsh_salted_query,
+     C.minhash_lsh_salted_oracle),
     ("simhash", C.simhash_query, C.simhash_oracle),
     ("ngram_jaccard", C.ngram_jaccard_query, C.ngram_jaccard_oracle),
     ("ann_bruteforce", C.ann_bruteforce_query, C.ann_bruteforce_oracle),

@@ -233,6 +233,26 @@ def main() -> None:
     check("lsh: reads materialized signatures (no shingle recompute)",
           "ExistingRDD" in raw5 and "array_join" not in raw5,
           "")
+    # block-salted variant: same constraints, plus the candidate join
+    # must key on the block columns (a.t = b.blk / b.t = a.blk) so a hot
+    # bucket's pairs spread over S² join-key groups — if the block
+    # equalities slide into the post-join filter instead of the join key,
+    # the salting is decorative and the hot task is back
+    mhs = C.minhash_lsh_salted_query(spark, sf)
+    raw5s = plan_of(mhs)
+    check("lsh-salted: no cartesian/nested-loop",
+          "Cartesian" not in raw5s and "NestedLoop" not in raw5s, "")
+    check("lsh-salted: reads materialized signatures",
+          "ExistingRDD" in raw5s and "array_join" not in raw5s, "")
+    import re as _re
+    join_keys = _re.findall(
+        r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"
+        r"[^\[]*\[([^\]]*)\]", raw5s
+    )
+    blk_in_key = any("blk#" in k for k in join_keys) or bool(
+        _re.search(r"hashpartitioning\([^)]*blk#", raw5s)
+    )
+    check("lsh-salted: block cols are join/partition keys", blk_in_key, "")
 
     # 6. SimHash banded-Hamming near-dup join shape
     sn = C.simhash_neardup_query(spark, sf)
