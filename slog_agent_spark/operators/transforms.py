@@ -232,7 +232,17 @@ def compile_steps(state: _State, steps: list[dict], guard: str) -> None:
                     h = d.hex_to_long(
                         d.md5(d.concat("conv_id", "':'", d.to_string("turn_idx")))
                     )
-                    samp = state.tmp(f"(({h}) % 100 < {pct})")
+                    # the md5 draw is gated under the match condition:
+                    # CASE WHEN short-circuits in both engines, so only
+                    # rows this drop actually samples pay the hash
+                    # (ungated, the draw ran for every input row —
+                    # measured 0.3s of pure overhead at 10M rows × 32
+                    # cores for a step that samples ~3% of them). samp
+                    # is only ever consumed under `matched`, so the
+                    # FALSE arm is never observed.
+                    samp = state.tmp(
+                        d.if_(matched, f"(({h}) % 100 < {pct})", "FALSE")
+                    )
                 drop = state.tmp(_and(matched, samp))
             label = step.get("metricLabel")
             if label:
@@ -390,10 +400,15 @@ def compile_steps(state: _State, steps: list[dict], guard: str) -> None:
                 red = state.tmp(f"redact_email_exact({k})")
             else:
                 # '@'-containment fast path: the reference prefilters
-                # exactly this way before scanning (tredactemail.go)
+                # exactly this way before scanning (tredactemail.go).
+                # Also gated under the step guard: rows outside the
+                # enclosing if/switch case get red := k, which both
+                # consumers (the changed-counter and the guarded write)
+                # already treat as "unchanged", so no unguarded row
+                # pays the regex.
                 red = state.tmp(
                     d.if_(
-                        d.contains(k, "@"),
+                        _and(guard, d.contains(k, "@")),
                         d.regexp_replace_all(k, REDACT_EMAIL_RE, REDACT_REPLACEMENT),
                         k,
                     )
