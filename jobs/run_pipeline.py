@@ -25,7 +25,11 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint", required=True)
-    ap.add_argument("--salt-buckets", type=int, default=64)
+    ap.add_argument(
+        "--salt-buckets", default="64",
+        help="hot-keyset salt level for the routed shuffle; an integer, "
+             "or 'auto' to size S from the keyset histogram "
+             "(plans/pipeline.choose_salt_buckets, BENCH/SKEW.md rule)")
     ap.add_argument("--metrics-out", default=None)
     ap.add_argument(
         "--config", default=None,
@@ -67,8 +71,15 @@ def main(argv: list[str]) -> int:
         ckpt = SinkCheckpointer(
             args.output, config_repr, fingerprint, manifest_dir=args.checkpoint
         )
+        if args.salt_buckets == "auto":
+            from slog_agent_spark.plans.pipeline import choose_salt_buckets
+
+            salt_buckets = choose_salt_buckets(transformed, cfg=pipeline_cfg)
+            print(f"auto salt level from keyset histogram: S={salt_buckets}")
+        else:
+            salt_buckets = int(args.salt_buckets)
         written = write_sinks_resumable(
-            transformed, ckpt, salt_buckets=args.salt_buckets
+            transformed, ckpt, salt_buckets=salt_buckets
         )
         print(f"committed {len(written)} sink partitions: {sorted(written)}")
 

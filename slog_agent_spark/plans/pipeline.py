@@ -219,6 +219,49 @@ def run_fanout(
     return metrics
 
 
+def choose_salt_buckets(
+    transformed: DataFrame,
+    slots: int | None = None,
+    cfg: PipelineConfig | None = None,
+    sample_fraction: float | None = None,
+) -> int:
+    """Pick the fan-out salt level S from the keyset histogram —
+    BENCH/SKEW.md's sizing rule made executable.
+
+    With hot-keyset share ``h`` of the rows entering the routed shuffle
+    and ``W`` reduce slots, the unsalted straggler task does ``h·R``
+    rows while balanced tasks do ``R/W``; ``S = ceil(h·W)`` spreads the
+    hot keyset back to ~``R/W`` per task (the fairness the reference
+    gets from per-keyset queues, reference: DESIGN.md:46-48). Uniform
+    inputs come back as S=1 — below the hot threshold, salting's extra
+    sink files and partial-agg state buy nothing.
+
+    The histogram covers ALL chain output rows (dropped rows ride the
+    same shuffle into the quarantine tier, so they load tasks too). One
+    keys-shuffle with map-side partial agg over a cheap 3-column
+    projection; at table scale pass ``sample_fraction`` (the share
+    estimate, a ratio, is robust to uniform sampling) or reuse a prior
+    run's metrics read-back instead of rescanning.
+    """
+    cfg = cfg or DEFAULT_CONFIG
+    if slots is None:
+        slots = transformed.sparkSession.sparkContext.defaultParallelism
+    df = transformed.select(*cfg.orchestration_keys)
+    if sample_fraction:
+        df = df.sample(fraction=sample_fraction, seed=7)
+    row = (
+        df.groupBy(*cfg.orchestration_keys).count()
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("total"))
+        .collect()[0]
+    )
+    if not row["total"]:
+        return 1
+    hot_share = row["mx"] / row["total"]
+    import math
+
+    return max(1, min(slots, math.ceil(hot_share * slots)))
+
+
 def spark_read_sink(any_df: DataFrame, sink_dir: str) -> DataFrame:
     """Read a fan-out sink back with the `dropped` partition column
     restored to BOOLEAN (dynamic-partition values are read as strings)."""

@@ -114,3 +114,24 @@ def test_fanout_sink_files_turn_ordered(spark, sf_dir):
         }
         got_m = {tuple(r) for r in metrics.collect()}
         assert got_m == src
+
+
+def test_choose_salt_buckets_from_histogram(spark, sf_dir):
+    """S tracks the hot-keyset share (BENCH/SKEW.md rule): a uniform
+    input needs no spread; collapsing half the rows onto one keyset
+    must yield S ≈ ceil(hot_share · slots)."""
+    uniform = P.transform_transcripts(transcripts_df(spark, sf_dir))
+    s_uniform = P.choose_salt_buckets(uniform, slots=32)
+
+    hot = P.transform_transcripts(
+        transcripts_df(spark, sf_dir, hot_permille=500)
+    )
+    s_hot = P.choose_salt_buckets(hot, slots=32)
+
+    assert 1 <= s_uniform <= 4          # no keyset above ~12% uniform
+    assert s_hot > s_uniform
+    # hot share is ~0.5 of ALL rows (the histogram includes the
+    # quarantine tier, which rides the same shuffle)
+    assert 12 <= s_hot <= 24
+    # degenerate slots still clamp into [1, slots]
+    assert P.choose_salt_buckets(hot, slots=1) == 1
