@@ -56,6 +56,10 @@ def main(argv: list[str]) -> int:
                     help="wire mode: output protocol")
     ap.add_argument("--drain", action="store_true",
                     help="availableNow trigger: drain existing input, exit")
+    ap.add_argument("--metrics-out", default=None,
+                    help="pipeline mode: dump the cumulative cross-batch "
+                         "process counters as Prometheus text after the "
+                         "drain (stream twin of run_pipeline --metrics-out)")
     args = ap.parse_args(argv)
 
     from slog_agent_spark.session import build_session
@@ -68,6 +72,13 @@ def main(argv: list[str]) -> int:
             S.run_stream_pipeline(
                 spark, args.input, args.output, args.checkpoint
             )
+            if args.metrics_out:
+                from slog_agent_spark.operators.metrics import prometheus_dump
+
+                totals = S.stream_metrics_total(spark, args.output)
+                with open(args.metrics_out, "w", encoding="utf-8") as fh:
+                    fh.write(prometheus_dump(totals))
+                print(f"metrics -> {args.metrics_out}")
             return 0
         if args.mode == "wire":
             # protocol chunks per (batch, tag): fluentd

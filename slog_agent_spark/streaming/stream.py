@@ -47,7 +47,7 @@ def stream_transcripts(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
-def pipeline_batch_handler(sink_dir: str):
+def pipeline_batch_handler(sink_dir: str, with_metrics: bool = False):
     """foreachBatch handler for the parquet events sink — exposed so
     tests can replay a batch directly.
 
@@ -56,9 +56,19 @@ def pipeline_batch_handler(sink_dir: str):
     commit) rewrites exactly its own batch_id partitions instead of
     appending a duplicate row set (the round-3 judge finding; primitive
     shared with the resumable batch sink, sinks/writers.write_table).
+
+    ``with_metrics`` additionally writes the batch's per-keyset process
+    counters (operators/metrics.process_metrics — the reference emits
+    these continuously, reference: base/logprocesscounterset.go:20-33)
+    to ``<sink>/metrics`` partitioned by batch_id under the same
+    dynamic-overwrite discipline, so a replayed batch rewrites its own
+    counter partials instead of double-counting. The counters are pure
+    sums, so :func:`stream_metrics_total` rolls the partials up into
+    exactly the batch-job metrics table.
     """
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.metrics import process_metrics
         from ..plans.pipeline import fence_filter
         from ..sinks.writers import write_table
 
@@ -69,8 +79,36 @@ def pipeline_batch_handler(sink_dir: str):
             partition_by=["batch_id", "tag"],
             mode="overwrite_partitions",
         )
+        if with_metrics:
+            write_table(
+                process_metrics(tf).withColumn("batch_id", F.lit(batch_id)),
+                f"{sink_dir}/metrics",
+                partition_by=["batch_id"],
+                mode="overwrite_partitions",
+            )
 
     return handle_batch
+
+
+def stream_metrics_total(
+    spark: SparkSession, sink_dir: str, cfg=None
+) -> DataFrame:
+    """Cumulative per-keyset process counters across every drained
+    micro-batch — value- and schema-identical to the batch job's
+    ``process_metrics`` over the union of the batch inputs (pinned by
+    tests/test_streaming.py). Every counter is additive, so the rollup
+    is one groupBy over the key columns summing each counter partial;
+    feed the result to ``operators.metrics.prometheus_dump`` for the
+    reference's .prom shape."""
+    from ..plans.config import DEFAULT_CONFIG
+
+    cfg = cfg or DEFAULT_CONFIG
+    df = spark.read.parquet(f"{sink_dir}/metrics")
+    keys = list(cfg.orchestration_keys) + list(cfg.metric_keys)
+    counters = [c for c in df.columns if c not in keys + ["batch_id"]]
+    return df.groupBy(*keys).agg(
+        *[F.sum(c).cast("long").alias(c) for c in counters]
+    )
 
 
 def run_stream_pipeline(
@@ -78,10 +116,11 @@ def run_stream_pipeline(
     input_dir: str,
     sink_dir: str,
     checkpoint_dir: str,
+    with_metrics: bool = True,
 ) -> None:
     """Drain all available input through the full pipeline (availableNow)."""
 
-    handle_batch = pipeline_batch_handler(sink_dir)
+    handle_batch = pipeline_batch_handler(sink_dir, with_metrics=with_metrics)
     q = (
         stream_transcripts(spark, input_dir)
         .writeStream.foreachBatch(handle_batch)

@@ -491,3 +491,34 @@ def test_streaming_wire_sink_chunks_decode(spark, sf_dir):
             spark.read.parquet(tdir)
         ).where("NOT dropped").count()
         assert total == expected
+
+
+def test_stream_metrics_equal_batch_and_replay_safe(spark, sf_dir):
+    """Per-batch counter partials must roll up to EXACTLY the batch
+    job's process_metrics over the same input, and a replayed batch
+    must rewrite (not double-count) its own partials."""
+    from slog_agent_spark.operators.metrics import process_metrics
+    from slog_agent_spark.streaming.stream import (
+        pipeline_batch_handler,
+        stream_metrics_total,
+    )
+
+    t = transcripts_df(spark, sf_dir)
+    half_a = t.where("pmod(hash(conv_id), 2) = 0")
+    half_b = t.where("pmod(hash(conv_id), 2) = 1")
+
+    def rows(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    with tempfile.TemporaryDirectory() as work:
+        handler = pipeline_batch_handler(f"{work}/sink", with_metrics=True)
+        handler(half_a, 0)
+        handler(half_b, 1)
+        total = stream_metrics_total(spark, f"{work}/sink")
+        expect = process_metrics(transform_transcripts(t))
+        assert sorted(total.columns) == sorted(expect.columns)
+        assert rows(total) == rows(expect)
+
+        handler(half_a, 0)  # the replay
+        assert rows(stream_metrics_total(spark, f"{work}/sink")) == rows(expect)
