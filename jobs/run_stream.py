@@ -26,6 +26,9 @@ watermarked, pipeline/wire/neardup are foreachBatch exactly-once):
     neardup-compact  fold the near-dup store's committed per-batch
                partitions into the bounded base partition (run between
                drains; --output = the store dir)
+    events-compact   same fold for the pipeline sink's events/metrics
+               (batch_id, tag) partitions (run between drains;
+               --output = the pipeline sink root)
     dedup      at-least-once redelivery guard
                (dropDuplicatesWithinWatermark on conv_id/turn_idx)
     counters   event-time windowed per-role counters
@@ -48,7 +51,8 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--mode", default="pipeline",
                     choices=["pipeline", "wire", "neardup", "neardup-compact",
-                             "sessions", "dedup", "counters"])
+                             "events-compact", "sessions", "dedup",
+                             "counters"])
     ap.add_argument("--salts", type=int, default=1,
                     help="wire mode: sub-chunkers per hot tag")
     ap.add_argument("--wire-format", default="fluentd",
@@ -93,10 +97,14 @@ def main(argv: list[str]) -> int:
                 spark, args.input, args.output, args.checkpoint
             )
             return 0
-        if args.mode == "neardup-compact":
+        if args.mode in ("neardup-compact", "events-compact"):
             # between drains (never concurrently with the stream): fold
             # committed per-batch store partitions into the bounded base
-            report = S.compact_neardup_store(spark, args.output)
+            compact = (
+                S.compact_neardup_store if args.mode == "neardup-compact"
+                else S.compact_events_sink
+            )
+            report = compact(spark, args.output)
             for table, r in report.items():
                 print(f"compacted {table}: {r['rows']} rows, "
                       f"{r['files_before']} -> {r['files_after']} files")

@@ -26,6 +26,7 @@ from pyspark.sql.types import (
 )
 
 from ..plans.pipeline import transform_transcripts
+from . import store as _store
 
 TRANSCRIPT_SCHEMA = StructType(
     [
@@ -103,6 +104,7 @@ def stream_metrics_total(
     from ..plans.config import DEFAULT_CONFIG
 
     cfg = cfg or DEFAULT_CONFIG
+    _store.heal_swapped_dir(f"{sink_dir}/metrics")
     df = spark.read.parquet(f"{sink_dir}/metrics")
     keys = list(cfg.orchestration_keys) + list(cfg.metric_keys)
     counters = [c for c in df.columns if c not in keys + ["batch_id"]]
@@ -290,7 +292,7 @@ def stream_documents(spark: SparkSession, input_dir: str) -> DataFrame:
 NEARDUP_BAND_BUCKETS = 64
 NEARDUP_SIG_BUCKETS = 64
 # base partition for compacted state; real streaming batch_ids are >= 0
-NEARDUP_BASE_BATCH = -1
+NEARDUP_BASE_BATCH = _store.BASE_BATCH
 
 
 def _band_bucket(buckets: int):
@@ -301,14 +303,9 @@ def _doc_bucket(buckets: int):
     return F.pmod(F.xxhash64(F.col("doc_id")), F.lit(buckets)).cast("int")
 
 
-def _heal_swapped_dir(path: str) -> None:
-    """Recover a store table from a compaction crash between the two
-    directory renames: if ``<path>`` is gone but ``<path>_old`` exists,
-    the old generation is intact — restore it."""
-    import os
-
-    if not os.path.exists(path) and os.path.exists(f"{path}_old"):
-        os.rename(f"{path}_old", path)
+# shared bounded-generation primitive (streaming/store.py); kept under
+# the old private name for the handler's store reads
+_heal_swapped_dir = _store.heal_swapped_dir
 
 
 def neardup_batch_handler(
@@ -540,66 +537,50 @@ def compact_neardup_store(
 
     Returns per-table (rows, files_before, files_after).
     """
-    import os
-    import shutil
-
-    from pyspark.errors import AnalysisException
-
-    def count_files(path: str) -> int:
-        return sum(
-            1 for r, _, fns in os.walk(path)
-            for fn in fns if fn.endswith(".parquet")
-        )
-
     report = {}
-    for table, bucket_col, nbkts, sort_key in (
+    for table, bucket_col, nbkts, sort_keys in (
         ("sigs", "doc_bkt", sig_buckets, None),
-        ("bands", "band_bkt", band_buckets, "band_key"),
+        ("bands", "band_bkt", band_buckets, ["band_key"]),
         ("pairs", None, 1, None),
     ):
-        path = f"{store_dir}/{table}"
-        _heal_swapped_dir(path)
-        try:
-            df = spark.read.parquet(path)
-        except AnalysisException:
-            continue
-        batches = sorted(
-            r["b"] for r in df.select(
-                F.col("batch_id").cast("long").alias("b")
-            ).distinct().collect()
+        r = _store.fold_batch_partitions(
+            spark, f"{store_dir}/{table}",
+            secondary=bucket_col, n_tasks=nbkts, sort_keys=sort_keys,
         )
-        live = [b for b in batches if b != NEARDUP_BASE_BATCH]
-        if len(batches) <= 1 or not live:
-            continue  # nothing to fold
-        keep = max(live)
-        files_before = count_files(path)
-        folded = df.where(F.col("batch_id").cast("long") != keep).withColumn(
-            "batch_id", F.lit(NEARDUP_BASE_BATCH).cast("long")
-        )
-        if bucket_col:
-            folded = folded.repartition(nbkts, F.col(bucket_col))
-            if sort_key:
-                folded = folded.sortWithinPartitions(bucket_col, sort_key)
-        else:
-            folded = folded.coalesce(1)
-        kept = df.where(F.col("batch_id").cast("long") == keep).withColumn(
-            "batch_id", F.col("batch_id").cast("long")
-        )
-        parts = ["batch_id"] + ([bucket_col] if bucket_col else [])
-        tmp = f"{path}_tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        cols = folded.columns
-        merged = folded.select(cols).unionByName(kept.select(cols))
-        merged.write.partitionBy(*parts).mode("overwrite").parquet(tmp)
-        n_rows = spark.read.parquet(tmp).count()
-        os.rename(path, f"{path}_old")
-        os.rename(tmp, path)
-        shutil.rmtree(f"{path}_old", ignore_errors=True)
-        report[table] = {
-            "rows": n_rows,
-            "files_before": files_before,
-            "files_after": count_files(path),
-        }
+        if r is not None:
+            report[table] = r
+    return report
+
+
+def compact_events_sink(spark: SparkSession, sink_dir: str) -> dict:
+    """Fold the streaming pipeline sink's committed (batch_id, tag)
+    partitions into the bounded base generation — the events/metrics
+    twin of :func:`compact_neardup_store` (same sprawl: one directory
+    per micro-batch forever on a long-running stream; same primitive:
+    streaming/store.fold_batch_partitions; same replay rule: the max
+    live batch is kept untouched so the checkpoint's one possibly
+    uncommitted batch still overwrites exactly its own partitions).
+
+    Events keep their per-``tag`` partitioning through the fold (that is
+    what downstream per-sink consumers prune on) and are sorted within
+    each tag by (conv_id, turn_idx) so turn-ordered readers get parquet
+    min/max row-group skipping. Metric partials fold to a single file;
+    ``stream_metrics_total`` is a pure sum over them, so folding batch
+    partials into one partition cannot change the rollup (pinned by
+    tests/test_streaming.py).
+
+    Run between drains — never concurrently with the stream.
+    """
+    report = {}
+    r = _store.fold_batch_partitions(
+        spark, f"{sink_dir}/events",
+        secondary="tag", sort_keys=["conv_id", "turn_idx"],
+    )
+    if r is not None:
+        report["events"] = r
+    r = _store.fold_batch_partitions(spark, f"{sink_dir}/metrics")
+    if r is not None:
+        report["metrics"] = r
     return report
 
 

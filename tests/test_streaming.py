@@ -522,3 +522,80 @@ def test_stream_metrics_equal_batch_and_replay_safe(spark, sf_dir):
 
         handler(half_a, 0)  # the replay
         assert rows(stream_metrics_total(spark, f"{work}/sink")) == rows(expect)
+
+
+def test_streaming_events_sink_compaction(spark, sf_dir):
+    """compact_events_sink folds committed (batch_id, tag) partitions
+    into the bounded base generation: events content and metric rollup
+    unchanged, file counts bounded, the max live batch kept replayable,
+    and the stream continues correctly on the compacted sink."""
+    from slog_agent_spark.operators.metrics import process_metrics
+    from slog_agent_spark.streaming.stream import (
+        compact_events_sink,
+        pipeline_batch_handler,
+        stream_metrics_total,
+    )
+
+    t = transcripts_df(spark, sf_dir)
+    parts = [t.where(f"pmod(hash(conv_id), 4) = {i}") for i in range(4)]
+
+    def rows(df):
+        cols = sorted(df.columns)
+        return sorted(
+            tuple(r[c] for c in cols if c != "batch_id") for r in df.collect()
+        )
+
+    with tempfile.TemporaryDirectory() as work:
+        sink = f"{work}/sink"
+        handler = pipeline_batch_handler(sink, with_metrics=True)
+        for i in range(3):
+            handler(parts[i], i)
+        before_events = rows(spark.read.parquet(f"{sink}/events"))
+        expect_total_3 = rows(stream_metrics_total(spark, sink))
+
+        report = compact_events_sink(spark, sink)
+        assert set(report) == {"events", "metrics"}
+        for r in report.values():
+            assert r["files_after"] <= r["files_before"]
+        # batches 0,1 folded into base, max live batch 2 kept
+        ev = spark.read.parquet(f"{sink}/events")
+        batch_ids = sorted(
+            r["b"] for r in ev.selectExpr("CAST(batch_id AS LONG) AS b")
+            .distinct().collect()
+        )
+        assert batch_ids == [-1, 2]
+        # tag partitioning survives the fold (per-sink consumers prune on it)
+        import os
+
+        base_dirs = os.listdir(f"{sink}/events/batch_id=-1")
+        assert base_dirs and all(d.startswith("tag=") for d in base_dirs)
+        # contents and metric rollup preserved
+        assert rows(ev) == before_events
+        assert rows(stream_metrics_total(spark, sink)) == expect_total_3
+
+        # replaying the kept max batch is still exactly-once
+        handler(parts[2], 2)
+        assert rows(spark.read.parquet(f"{sink}/events")) == before_events
+        assert rows(stream_metrics_total(spark, sink)) == expect_total_3
+
+        # and the stream continues correctly over the compacted sink
+        handler(parts[3], 3)
+        expect_all = transform_transcripts(t).where("NOT dropped")
+        got = rows(spark.read.parquet(f"{sink}/events").drop("batch_id"))
+        want = rows(expect_all.select(*sorted(expect_all.columns)))
+        assert len(got) == len(want)
+        assert rows(stream_metrics_total(spark, sink)) == rows(
+            process_metrics(transform_transcripts(t))
+        )
+        # a second compaction folds the previous base AND the
+        # now-committed batch 2 down to (base + max live batch 3) — the
+        # store stays at two generations regardless of stream age
+        compact_events_sink(spark, sink)
+        batch_ids = sorted(
+            r["b"] for r in spark.read.parquet(f"{sink}/events")
+            .selectExpr("CAST(batch_id AS LONG) AS b").distinct().collect()
+        )
+        assert batch_ids == [-1, 3]
+        assert rows(stream_metrics_total(spark, sink)) == rows(
+            process_metrics(transform_transcripts(t))
+        )
