@@ -29,6 +29,17 @@ watermarked, pipeline/wire/neardup are foreachBatch exactly-once):
     events-compact   same fold for the pipeline sink's events/metrics
                (batch_id, tag) partitions (run between drains;
                --output = the pipeline sink root)
+    ann-train  materialize the deterministic k-means IVF centroids from
+               an embeddings table (--input) to --centroids; train
+               once, broadcast everywhere
+    ann-ingest incremental IVF ANN indexing over an EMBEDDING stream
+               (vec_id, embedding, label): each micro-batch assigns its
+               vectors to their centroid lists (--centroids) and
+               appends to the bucketed vector store under --output;
+               query it with streaming/ann_stream.ann_query_store
+               (partition-pruned to the probed lists)
+    ann-compact  fold the vector store's committed per-batch partitions
+               (run between drains; --output = the store dir)
     dedup      at-least-once redelivery guard
                (dropDuplicatesWithinWatermark on conv_id/turn_idx)
     counters   event-time windowed per-role counters
@@ -51,13 +62,16 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--mode", default="pipeline",
                     choices=["pipeline", "wire", "neardup", "neardup-compact",
-                             "events-compact", "sessions", "dedup",
-                             "counters"])
+                             "events-compact", "ann-train", "ann-ingest",
+                             "ann-compact", "sessions", "dedup", "counters"])
     ap.add_argument("--salts", type=int, default=1,
                     help="wire mode: sub-chunkers per hot tag")
     ap.add_argument("--wire-format", default="fluentd",
                     choices=["fluentd", "datadog"],
                     help="wire mode: output protocol")
+    ap.add_argument("--centroids", default=None,
+                    help="ann modes: path of the materialized centroid "
+                         "table (written by ann-train, read by ann-ingest)")
     ap.add_argument("--drain", action="store_true",
                     help="availableNow trigger: drain existing input, exit")
     ap.add_argument("--metrics-out", default=None,
@@ -97,13 +111,34 @@ def main(argv: list[str]) -> int:
                 spark, args.input, args.output, args.checkpoint
             )
             return 0
-        if args.mode in ("neardup-compact", "events-compact"):
+        if args.mode in ("ann-train", "ann-ingest"):
+            from slog_agent_spark.streaming import ann_stream as A
+
+            if not args.centroids:
+                raise SystemExit("--centroids is required for ann modes")
+            if args.mode == "ann-train":
+                A.train_ann_centroids(
+                    spark, spark.read.parquet(args.input), args.centroids
+                )
+                print(f"centroids -> {args.centroids}")
+            else:
+                A.run_stream_ann_ingest(
+                    spark, args.input, args.output, args.checkpoint,
+                    args.centroids,
+                )
+            return 0
+        if args.mode in ("neardup-compact", "events-compact", "ann-compact"):
             # between drains (never concurrently with the stream): fold
             # committed per-batch store partitions into the bounded base
-            compact = (
-                S.compact_neardup_store if args.mode == "neardup-compact"
-                else S.compact_events_sink
-            )
+            if args.mode == "ann-compact":
+                from slog_agent_spark.streaming.ann_stream import (
+                    compact_ann_store as compact,
+                )
+            else:
+                compact = (
+                    S.compact_neardup_store if args.mode == "neardup-compact"
+                    else S.compact_events_sink
+                )
             report = compact(spark, args.output)
             for table, r in report.items():
                 print(f"compacted {table}: {r['rows']} rows, "

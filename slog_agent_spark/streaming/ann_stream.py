@@ -1,0 +1,234 @@
+"""Incremental IVF ANN index maintenance over an embedding stream.
+
+The batch ANN queries (operators/similarity.py) train k-means centroids
+once, assign every vector to its nearest list, and answer top-k by
+probing a few lists. This module is the STREAMING twin: the index is a
+persistent vector store laid out by IVF list, maintained one micro-batch
+at a time —
+
+- TRAIN once, offline (:func:`train_ann_centroids` materializes the
+  same deterministic k-means the batch queries use; at cluster scale
+  the centroid table broadcasts to every assignment job).
+- INGEST per micro-batch (:func:`ann_ingest_batch_handler`): assign the
+  batch's vectors to their argmax list — exactly the batch ``assigned``
+  CTE's rule (same 4-dp rounded cosine, same centroid_id tie-break), on
+  the BATCH only; an assignment depends on nothing but the vector and
+  the frozen centroids, so stream order cannot change it — hoist each
+  vector's norm, and append to ``<store>/vectors`` partitioned by
+  (batch_id, centroid_id). Exactly-once: dynamic partition overwrite
+  by batch_id, the same replay discipline as every store in
+  streaming/stream.py.
+- QUERY any time (:func:`ann_query_store`): rank lists per query from
+  the tiny centroid table, read the store PARTITION-PRUNED to the
+  probed centroid_ids — the scan is the probed lists, never the corpus
+  — and rank with the stored norms. Value-identical to the batch
+  ``ann_topk_batch`` query over the same corpus and centroids (pinned
+  by tests/test_ann_stream.py).
+- COMPACT between drains (:func:`compact_ann_store`): the shared
+  bounded-generation fold (streaming/store.py) keeps one base
+  generation per list, sorted by vec_id for row-group skipping.
+
+Reference analogy: the agent's persistent keyed buffer dirs (ref:
+buffer/hybridbuffer/bufferer.go:104-132) — state partitioned by the
+lookup key, bounded by compaction, exactly-once by chunk identity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.dialect import SPARK as SPARK_D
+from ..operators import similarity
+from ..plans.corpus_config import CorpusParams, DEFAULT_CORPUS_PARAMS
+from ..sinks.writers import write_table
+from . import store as _store
+
+
+def train_ann_centroids(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    cents_path: str,
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
+) -> None:
+    """Materialize the deterministic k-means centroids (centroid_id,
+    emb) to ``cents_path`` — train once, broadcast everywhere. Same SQL
+    as the batch staged queries (similarity.ivf_centroids_sql), so a
+    store built on these centroids answers queries identically to the
+    batch one-shot."""
+    embeddings.createOrReplaceTempView("ann_train_embs")
+    cents = spark.sql(
+        similarity.ivf_centroids_sql(SPARK_D, "ann_train_embs", params=params)
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(cents_path)
+
+
+def _read_cents(spark: SparkSession, cents_path: str) -> DataFrame:
+    return spark.read.parquet(cents_path)
+
+
+def ann_ingest_batch_handler(
+    store_dir: str,
+    cents_path: str,
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
+    stats: list | None = None,
+):
+    """foreachBatch handler: assign the batch's vectors to their IVF
+    lists and append them to the bucketed vector store.
+
+    Per-batch cost is |batch| x |centroids| cosines (the centroid side
+    is tiny and broadcast) + one write of |batch| rows — independent of
+    accumulated store size; the store is never read on ingest.
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.createOrReplaceTempView("ann_batch_embs")
+        _read_cents(spark, cents_path).createOrReplaceTempView("ann_cents")
+        cos_assign = similarity.cosine_expr(SPARK_D, "e.embedding", "c.emb")
+        nrm = similarity.norm_expr(SPARK_D, "embedding")
+        assigned = spark.sql(f"""
+        SELECT vec_id, label, embedding, {nrm} AS nrm, centroid_id FROM (
+          SELECT e.vec_id, e.label, e.embedding, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY {cos_assign} DESC, c.centroid_id) AS rn
+          FROM ann_batch_embs e CROSS JOIN ann_cents c
+        ) x WHERE rn = 1
+        """)
+        # one task per list -> one file per (batch, centroid_id) dir
+        write_table(
+            assigned.repartition(F.col("centroid_id"))
+            .withColumn("batch_id", F.lit(batch_id)),
+            f"{store_dir}/vectors",
+            partition_by=["batch_id", "centroid_id"],
+            mode="overwrite_partitions",
+        )
+        if stats is not None:
+            stats.append({
+                "batch_id": batch_id,
+                "n_ingested": assigned.count(),
+            })
+
+    return handle
+
+
+def ann_query_store(
+    spark: SparkSession,
+    store_dir: str,
+    cents_path: str,
+    n_queries: int = 5,
+    k: int | None = None,
+    probes: int | None = None,
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Batch top-k for the first ``n_queries`` vec_ids against the
+    streamed store: (q_id, vec_id, label, cosine) — value-identical to
+    the batch ``ann_topk_batch`` query over the same corpus/centroids.
+
+    Scale shape: probe ranking touches only the centroid table; the
+    store scan is partition-pruned to the probed centroid_ids (the
+    union over queries), so rows scored = the probed lists' occupancy,
+    never the corpus. ``stats`` (a dict) receives scanned/total row
+    counts — the bounded-read evidence the tests assert on.
+    """
+    k = params.topk if k is None else k
+    probes = params.trained_probes if probes is None else probes
+    path = f"{store_dir}/vectors"
+    _store.heal_swapped_dir(path)
+    store = spark.read.parquet(path)
+    _read_cents(spark, cents_path).createOrReplaceTempView("ann_cents")
+
+    # query relation: tiny (vec_id pushdown on the parquet scan)
+    q = store.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), "embedding",
+        F.col("nrm").alias("qn"),
+    )
+    q.createOrReplaceTempView("ann_q")
+    cos_probe = similarity.cosine_expr(SPARK_D, "c.emb", "q.embedding")
+    probe_set = spark.sql(f"""
+    SELECT q_id, centroid_id FROM (
+      SELECT q.q_id, c.centroid_id,
+             row_number() OVER (PARTITION BY q.q_id
+                                ORDER BY {cos_probe} DESC, c.centroid_id) AS rn
+      FROM ann_cents c CROSS JOIN ann_q q
+    ) rp WHERE rn <= {probes}
+    """).localCheckpoint()
+    probe_set.createOrReplaceTempView("ann_probe_set")
+
+    # partition-pruned store read: only the probed lists are scanned
+    probed_ids = [
+        r["centroid_id"]
+        for r in probe_set.select("centroid_id").distinct().collect()
+    ]
+    pruned = store.where(F.col("centroid_id").isin(probed_ids))
+    if stats is not None:
+        stats["store_rows_scanned"] = pruned.count()
+        stats["store_rows_total"] = store.count()
+        stats["probed_lists"] = len(probed_ids)
+    pruned.createOrReplaceTempView("ann_pruned")
+
+    cos_q = similarity.cosine_prenorm_expr(
+        SPARK_D, "n.embedding", "q.embedding", "n.nrm", "q.qn"
+    )
+    return spark.sql(f"""
+    SELECT q_id, vec_id, label, cosine FROM (
+      SELECT p.q_id, n.vec_id, n.label, {cos_q} AS cosine,
+             row_number() OVER (PARTITION BY p.q_id
+                                ORDER BY {cos_q} DESC, n.vec_id) AS rnk
+      FROM ann_probe_set p
+      JOIN ann_pruned n ON n.centroid_id = p.centroid_id
+                       AND n.vec_id != p.q_id
+      JOIN ann_q q ON q.q_id = p.q_id
+    ) ranked WHERE rnk <= {k}
+    """)
+
+
+def compact_ann_store(spark: SparkSession, store_dir: str) -> dict:
+    """Fold the vector store's committed per-batch partitions into the
+    bounded base generation (shared primitive, streaming/store.py);
+    each list's base files are sorted by vec_id for parquet row-group
+    skipping. Run between drains."""
+    report = {}
+    r = _store.fold_batch_partitions(
+        spark, f"{store_dir}/vectors",
+        secondary="centroid_id", sort_keys=["vec_id"],
+    )
+    if r is not None:
+        report["vectors"] = r
+    return report
+
+
+def run_stream_ann_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    cents_path: str,
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
+) -> None:
+    """Drain an embedding stream (vec_id, label, embedding) into the IVF
+    vector store (availableNow trigger)."""
+    from pyspark.sql.types import (
+        ArrayType, FloatType, IntegerType, LongType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(
+            ann_ingest_batch_handler(store_dir, cents_path, params)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
