@@ -214,6 +214,7 @@ def run_bench(sf_dir: str, cpus: int, explode: int) -> dict:
                 ("ann_topk_batch", CQ.ann_topk_batch_query),
                 ("corpus_contamination", CQ.contamination_query),
                 ("doc_length_histogram", CQ.doc_length_histogram_query),
+                ("doc_length_quantiles", CQ.doc_length_quantiles_query),
                 ("dedup_groups_cc", CQ.dedup_groups_query),
             ):
                 best = None

@@ -36,6 +36,7 @@ DOC_OPS = (
     "doc_fingerprint",
     "corpus_stats",
     "doc_length_histogram",
+    "doc_length_quantiles",
     "doc_repetition",
     "doc_gopher_flags",
     "corpus_pii_scan",
@@ -74,6 +75,7 @@ def registry(params=None):
         "doc_fingerprint": C.fingerprint_query,
         "corpus_stats": C.corpus_stats_query,
         "doc_length_histogram": C.doc_length_histogram_query,
+        "doc_length_quantiles": C.doc_length_quantiles_query,
         "doc_repetition": C.doc_repetition_query,
         "doc_gopher_flags": C.gopher_flags_query,
         "corpus_pii_scan": C.pii_scan_query,

@@ -231,6 +231,79 @@ def doc_length_histogram_sql(d: SqlDialect, rel: str = "documents") -> str:
     """
 
 
+# -- token-length quantiles ---------------------------------------------------
+QUANTILE_PROBS = [0.25, 0.5, 0.75, 0.9, 0.99]
+# Spark approx_percentile retains every observation until a group
+# exceeds ~accuracy values, so below that it is EXACT and matches
+# DuckDB's quantile_disc rank-for-rank (empirically pinned across
+# group sizes by tests/test_corpus_ops.py). At 10^12 docs the same
+# query runs with bounded sketch memory and rank error <= 1/accuracy —
+# that trade, not a plan change, is the scale knob.
+QUANTILE_ACCURACY = 1_000_000
+
+
+def doc_length_quantiles_sql(d: SqlDialect, rel: str = "documents") -> str:
+    """Token-length quantiles per (language, stopword-gate verdict) —
+    the sequence-length budgeting report (p50/p90/p99 drive packing
+    chunk size and truncation limits) next to the bucketed histogram,
+    split by the Gopher stopword rule so the cut's length bias is
+    visible (filtered docs skewing short/long is a classic corpus
+    pathology).
+
+    Scale shape: one codegen projection (language-ID + token count per
+    doc) feeding one groupBy over the low-cardinality language key.
+    The quantile aggregate is Spark's mergeable Greenwald-Khanna sketch
+    (``approx_percentile``): map-side partial sketches merge at the
+    reducer, so the shuffle stays O(|langs| x tasks x sketch), never
+    corpus-sized, and no per-language global sort/window exists
+    anywhere (an exact ``percentile``/window formulation would funnel
+    each language's full token list through one task).
+
+    Cross-engine determinism: below ``QUANTILE_ACCURACY`` observations
+    per group the sketch is exact; DuckDB's ``quantile_disc`` picks the
+    same discrete rank, so both engines return the identical corpus
+    element (both are int token counts — no float interpolation to
+    diverge).
+    """
+    t = token_count_items(d)
+    lang = langid_items(d)["lang_pred"]
+    stop_ok = (
+        f"({quality_items(d)['stopword_ratio']}) >= {GOPHER_MIN_STOPWORD}"
+    )
+    probs = ", ".join(str(p) for p in QUANTILE_PROBS)
+    if d.name == d.SPARK:
+        qs = (
+            f"approx_percentile(n_tokens, array({probs}), "
+            f"{QUANTILE_ACCURACY})"
+        )
+
+        def at(i: int) -> str:
+            return f"element_at(qs, {i})"
+    else:
+        qs = f"quantile_disc(n_tokens, [{probs}])"
+
+        def at(i: int) -> str:
+            return f"qs[{i}]"
+
+    cols = ", ".join(
+        f"CAST({at(i + 1)} AS BIGINT) AS p{int(p * 100)}"
+        for i, p in enumerate(QUANTILE_PROBS)
+    )
+    return f"""
+    WITH per_doc AS (
+      SELECT {lang} AS lang_pred, {stop_ok} AS stopword_ok,
+             {t['n_tokens']} AS n_tokens
+      FROM {rel}
+    ),
+    agg AS (
+      SELECT lang_pred, stopword_ok, count(*) AS n_docs, {qs} AS qs
+      FROM per_doc GROUP BY lang_pred, stopword_ok
+    )
+    SELECT lang_pred, stopword_ok, CAST(n_docs AS BIGINT) AS n_docs, {cols}
+    FROM agg
+    """
+
+
 # -- benchmark-contamination check -------------------------------------------
 CONTAMINATION_MIN_SHARED = 5
 

@@ -419,3 +419,51 @@ def test_pii_scan_spark_duckdb_parity(spark, duck):
         df, duck,
         pii_scan_sql(DUCKDB, rel=f"(VALUES {_pii_vals()}) docs(doc_id, text)"),
     )
+
+
+def test_quantile_rank_convention_parity(spark, duck):
+    """doc_length_quantiles rests on approx_percentile (exact below its
+    accuracy budget) picking the SAME discrete rank as DuckDB's
+    quantile_disc — pin that convention across group sizes, including
+    the 1-element and duplicate-heavy edges, so an engine upgrade that
+    shifts either side's rank rule fails loudly here instead of as an
+    opaque driver hash mismatch."""
+    from slog_agent_spark.operators.textops import (
+        QUANTILE_ACCURACY,
+        QUANTILE_PROBS,
+    )
+
+    probs = ", ".join(str(p) for p in QUANTILE_PROBS)
+    cases = {
+        "n1": [5],
+        "n2": [1, 2],
+        "n7": list(range(1, 8)),
+        "n10": list(range(1, 11)),
+        "n11": list(range(1, 12)),
+        "n100": list(range(1, 101)),
+        "dups": [3] * 40 + [7] * 9 + [100],
+        "skew": [1] * 95 + [10_000] * 5,
+    }
+    for name, vals in cases.items():
+        arr = ",".join(map(str, vals))
+        got = spark.sql(
+            f"SELECT approx_percentile(x, array({probs}), "
+            f"{QUANTILE_ACCURACY}) AS qs "
+            f"FROM (SELECT explode(array({arr})) AS x)"
+        ).first()["qs"]
+        want = duck.execute(
+            f"SELECT quantile_disc(x, [{probs}]) "
+            f"FROM (SELECT unnest([{arr}]) AS x)"
+        ).fetchone()[0]
+        assert list(got) == list(want), f"{name}: {got} vs {want}"
+
+
+def test_doc_length_quantiles_matches_oracle(spark, duck, sf_dir):
+    from slog_agent_spark.functions.dialect import DUCKDB
+    from slog_agent_spark.operators.textops import doc_length_quantiles_sql
+    from slog_agent_spark.plans.corpus import doc_length_quantiles_query
+
+    df = doc_length_quantiles_query(spark, sf_dir)
+    assert_df_equals_oracle(df, duck, doc_length_quantiles_sql(DUCKDB))
+    # the stopword split is real on the fixture (both verdicts present)
+    assert df.select("stopword_ok").distinct().count() == 2

@@ -362,6 +362,24 @@ def main() -> None:
         formatted(cs),
     ))
 
+    qq = C.doc_length_quantiles_query(spark, sf)
+    raw10 = plan_of(qq)
+    n_ex10 = len(re.findall(r"Exchange hashpartitioning", raw10))
+    check("length-quantiles: exactly one shuffle", n_ex10 == 1,
+          f"{n_ex10} exchanges")
+    check("length-quantiles: partial sketch agg below the shuffle",
+          raw10.rindex("ObjectHashAggregate") > raw10.index("Exchange")
+          if "Exchange" in raw10 and "ObjectHashAggregate" in raw10
+          else False, "")
+    sections.append((
+        "Token-length quantiles (`doc_length_quantiles_query`)",
+        "approx_percentile's Greenwald-Khanna sketch aggregates map-side "
+        "(ObjectHashAggregate partial below the exchange) and merges at the "
+        "reducer — the shuffle carries per-group sketches, never token "
+        "lists; no per-group sort or window anywhere.",
+        formatted(qq),
+    ))
+
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         f.write("# BENCH/PLANS — physical-plan audit of the headline queries\n\n")
