@@ -40,6 +40,14 @@ watermarked, pipeline/wire/neardup are foreachBatch exactly-once):
                (partition-pruned to the probed lists)
     ann-compact  fold the vector store's committed per-batch partitions
                (run between drains; --output = the store dir)
+    docdedup   incremental exact dedup over a DOCUMENT stream
+               (doc_id, text): per-batch (content-hash, min-doc, count)
+               partials into a bucketed hash store under --output;
+               first-arrival verdicts per batch, canonical duplicate
+               groups via streaming/stream.docdedup_rollup (equal to
+               the batch dedup_exact under any arrival order)
+    docdedup-compact  fold the hash store's committed per-batch
+               partitions (run between drains; --output = the store)
     dedup      at-least-once redelivery guard
                (dropDuplicatesWithinWatermark on conv_id/turn_idx)
     counters   event-time windowed per-role counters
@@ -63,7 +71,8 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--mode", default="pipeline",
                     choices=["pipeline", "wire", "neardup", "neardup-compact",
                              "events-compact", "ann-train", "ann-ingest",
-                             "ann-compact", "sessions", "dedup", "counters"])
+                             "ann-compact", "docdedup", "docdedup-compact",
+                             "sessions", "dedup", "counters"])
     ap.add_argument("--salts", type=int, default=1,
                     help="wire mode: sub-chunkers per hot tag")
     ap.add_argument("--wire-format", default="fluentd",
@@ -111,6 +120,11 @@ def main(argv: list[str]) -> int:
                 spark, args.input, args.output, args.checkpoint
             )
             return 0
+        if args.mode == "docdedup":
+            S.run_stream_docdedup(
+                spark, args.input, args.output, args.checkpoint
+            )
+            return 0
         if args.mode in ("ann-train", "ann-ingest"):
             from slog_agent_spark.streaming import ann_stream as A
 
@@ -127,7 +141,8 @@ def main(argv: list[str]) -> int:
                     args.centroids,
                 )
             return 0
-        if args.mode in ("neardup-compact", "events-compact", "ann-compact"):
+        if args.mode in ("neardup-compact", "events-compact", "ann-compact",
+                         "docdedup-compact"):
             # between drains (never concurrently with the stream): fold
             # committed per-batch store partitions into the bounded base
             if args.mode == "ann-compact":
@@ -135,10 +150,11 @@ def main(argv: list[str]) -> int:
                     compact_ann_store as compact,
                 )
             else:
-                compact = (
-                    S.compact_neardup_store if args.mode == "neardup-compact"
-                    else S.compact_events_sink
-                )
+                compact = {
+                    "neardup-compact": S.compact_neardup_store,
+                    "events-compact": S.compact_events_sink,
+                    "docdedup-compact": S.compact_docdedup_store,
+                }[args.mode]
             report = compact(spark, args.output)
             for table, r in report.items():
                 print(f"compacted {table}: {r['rows']} rows, "

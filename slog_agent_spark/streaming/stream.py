@@ -605,6 +605,164 @@ def run_stream_neardup(
     q.awaitTermination()
 
 
+# -- streaming exact document dedup -------------------------------------------
+DOCDEDUP_HASH_BUCKETS = 64
+
+
+def docdedup_batch_handler(
+    store_dir: str,
+    hash_buckets: int = DOCDEDUP_HASH_BUCKETS,
+    stats: list | None = None,
+):
+    """foreachBatch handler for INCREMENTAL exact dedup over a document
+    stream — the streaming twin of the batch ``dedup_exact`` query
+    (operators/dedup.exact_dedup_sql: md5(text) groupBy, min doc_id
+    wins, group sizes counted).
+
+    Per batch it writes one row per content hash seen in the batch —
+    (content_hash, keep_doc_id = batch-min doc_id, cnt, is_first) — to
+    ``<store>/hashes`` partitioned by (batch_id, hash_bkt).
+
+    - ``is_first`` marks hashes no PRIOR batch has seen: the streaming
+      first-arrival-wins decision (emit/keep this doc now, drop later
+      copies). The seen-check reads the store partition-pruned to the
+      buckets this batch touches and semi-joined to the batch's hash
+      set — bounded by the batch, never the corpus (same discipline as
+      the near-dup store; ``stats`` receives the scanned row counts).
+    - :func:`docdedup_rollup` folds the partials by content_hash
+      (min of keep_doc_id, sum of cnt) — VALUE-IDENTICAL to the batch
+      query over the union of all inputs under ANY arrival order,
+      because each batch records its own (min, count) partial whether
+      or not the hash was already seen. First-arrival and batch-min
+      answers can name different representatives only when doc_ids
+      arrive out of order; the rollup is the canonical one.
+
+    Exactly-once: dynamic partition overwrite by batch_id; the
+    seen-check excludes the current batch_id, so a replay recomputes
+    the identical partition content.
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch_df.sparkSession
+        winners = (
+            batch_df.groupBy(F.md5("text").alias("content_hash"))
+            .agg(
+                F.min("doc_id").alias("keep_doc_id"),
+                F.count("*").alias("cnt"),
+            )
+            .withColumn(
+                "hash_bkt",
+                F.pmod(F.xxhash64(F.col("content_hash")), F.lit(hash_buckets))
+                .cast("int"),
+            )
+        ).localCheckpoint()
+
+        path = f"{store_dir}/hashes"
+        _heal_swapped_dir(path)
+        try:
+            store = spark.read.parquet(path)
+        except AnalysisException:
+            store = None
+        n_scanned = 0
+        if store is not None:
+            touched = [
+                r["hash_bkt"]
+                for r in winners.select("hash_bkt").distinct().collect()
+            ]
+            seen = (
+                store.where(
+                    (F.col("batch_id").cast("long") != batch_id)
+                    & F.col("hash_bkt").cast("int").isin(touched)
+                )
+                .select("content_hash")
+                .join(winners.select("content_hash"), "content_hash")
+                .distinct()
+            ).localCheckpoint()
+            if stats is not None:
+                n_scanned = seen.count()
+            fresh = winners.join(seen, "content_hash", "left_anti")
+        else:
+            fresh = winners
+        out = winners.join(
+            fresh.select("content_hash").withColumn("is_first", F.lit(True)),
+            "content_hash",
+            "left",
+        ).withColumn("is_first", F.coalesce(F.col("is_first"), F.lit(False)))
+        from ..sinks.writers import write_table
+
+        write_table(
+            out.repartition(F.col("hash_bkt"))
+            .withColumn("batch_id", F.lit(batch_id)),
+            path,
+            partition_by=["batch_id", "hash_bkt"],
+            mode="overwrite_partitions",
+        )
+        if stats is not None:
+            stats.append({
+                "batch_id": batch_id,
+                "n_hashes_in_batch": winners.count(),
+                "store_hash_rows_matched": n_scanned,
+            })
+
+    return handle
+
+
+def docdedup_rollup(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Canonical duplicate groups from the streamed partials:
+    (content_hash, keep_doc_id, group_size) — schema- and
+    value-identical to the batch ``dedup_exact`` query over the union
+    of every drained input, regardless of micro-batch arrival order
+    (each batch's (min, count) partial commutes through min/sum)."""
+    path = f"{store_dir}/hashes"
+    _store.heal_swapped_dir(path)
+    return (
+        spark.read.parquet(path)
+        .groupBy("content_hash")
+        .agg(
+            F.min("keep_doc_id").alias("keep_doc_id"),
+            F.sum("cnt").alias("group_size"),
+        )
+    )
+
+
+def compact_docdedup_store(
+    spark: SparkSession, store_dir: str,
+    hash_buckets: int = DOCDEDUP_HASH_BUCKETS,
+) -> dict:
+    """Bounded-generation fold for the dedup hash store (shared
+    primitive, streaming/store.py); base buckets sort by content_hash
+    for row-group skipping on the seen-check. Run between drains."""
+    report = {}
+    r = _store.fold_batch_partitions(
+        spark, f"{store_dir}/hashes",
+        secondary="hash_bkt", n_tasks=hash_buckets,
+        sort_keys=["content_hash"],
+    )
+    if r is not None:
+        report["hashes"] = r
+    return report
+
+
+def run_stream_docdedup(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain a document stream (doc_id, text) through incremental exact
+    dedup (availableNow trigger)."""
+    q = (
+        stream_documents(spark, input_dir)
+        .writeStream.foreachBatch(docdedup_batch_handler(store_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_wire_sink(
     spark: SparkSession,
     input_dir: str,

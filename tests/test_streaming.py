@@ -599,3 +599,87 @@ def test_streaming_events_sink_compaction(spark, sf_dir):
         assert rows(stream_metrics_total(spark, sink)) == rows(
             process_metrics(transform_transcripts(t))
         )
+
+
+def test_streaming_docdedup_equals_batch_any_order(spark, sf_dir):
+    """The dedup store's rollup must equal the batch dedup_exact query
+    over the union of inputs — under an arrival order that puts LATER
+    doc_ids first, so first-arrival and batch-min genuinely diverge and
+    only the commuting (min, count) partials can reconcile them."""
+    from slog_agent_spark.plans import corpus as C
+    from slog_agent_spark.streaming.stream import (
+        compact_docdedup_store,
+        docdedup_batch_handler,
+        docdedup_rollup,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    # reversed-range batches: batch 0 carries the HIGHEST doc_ids
+    n = docs.count()
+    parts = [
+        docs.where(f"doc_id >= {n * (3 - i) // 4} AND doc_id < {n * (4 - i) // 4}")
+        for i in range(4)
+    ]
+    with tempfile.TemporaryDirectory() as work:
+        store = f"{work}/store"
+        stats: list = []
+        handler = docdedup_batch_handler(store, stats=stats)
+        for i in range(4):
+            handler(parts[i], i)
+
+        def rows(df):
+            return sorted(
+                (r["content_hash"], r["keep_doc_id"], r["group_size"])
+                for r in df.collect()
+            )
+
+        got = rows(docdedup_rollup(spark, store))
+        want = rows(C.exact_dedup_query(spark, sf_dir))
+        assert got == want and got
+
+        # the seen-check is bounded by the batch's hash set
+        for s in stats:
+            assert s["store_hash_rows_matched"] <= s["n_hashes_in_batch"]
+
+        # first-arrival: every content hash is introduced exactly once
+        hashes = spark.read.parquet(f"{store}/hashes")
+        firsts = hashes.where("is_first")
+        assert firsts.count() == len(want)
+        assert firsts.select("content_hash").distinct().count() == len(want)
+
+        # replaying a batch is exactly-once
+        handler(parts[2], 2)
+        assert rows(docdedup_rollup(spark, store)) == want
+
+        # compaction folds committed batches and preserves the rollup
+        report = compact_docdedup_store(spark, store)
+        assert report["hashes"]["files_after"] <= (
+            report["hashes"]["files_before"]
+        )
+        batch_ids = sorted(
+            r["b"] for r in spark.read.parquet(f"{store}/hashes")
+            .selectExpr("CAST(batch_id AS LONG) AS b").distinct().collect()
+        )
+        assert batch_ids == [-1, 3]
+        assert rows(docdedup_rollup(spark, store)) == want
+
+        # the stream continues over the compacted store: a re-sent copy
+        # of an existing doc is NOT first, and the rollup counts it
+        dup = docs.where("doc_id = 0").withColumn(
+            "doc_id", F.lit(9_999_999).cast("long")
+        )
+        handler(dup.select("doc_id", "text"), 4)
+        new_rows = spark.read.parquet(f"{store}/hashes").where(
+            "CAST(batch_id AS LONG) = 4"
+        ).collect()
+        assert len(new_rows) == 1 and not new_rows[0]["is_first"]
+        rolled = {
+            r["content_hash"]: r["group_size"]
+            for r in docdedup_rollup(spark, store).collect()
+        }
+        dup_hash = new_rows[0]["content_hash"]
+        want_sizes = dict((h, g) for h, _, g in want)
+        assert rolled[dup_hash] == want_sizes[dup_hash] + 1
