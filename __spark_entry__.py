@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": C.corpus_stats_query,
         "doc_length_histogram": C.doc_length_histogram_query,
         "doc_length_quantiles": C.doc_length_quantiles_query,
+        "doc_chunk_split": C.doc_chunk_split_query,
         "doc_repetition": lambda spark, sf: _cast_counts_long(
             C.doc_repetition_query(spark, sf)
         ),
@@ -186,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": C.corpus_stats_oracle(),
         "doc_length_histogram": C.doc_length_histogram_oracle(),
         "doc_length_quantiles": C.doc_length_quantiles_oracle(),
+        "doc_chunk_split": C.doc_chunk_split_oracle(),
         "doc_repetition": C.doc_repetition_oracle(),
         "doc_gopher_flags": C.gopher_flags_oracle(),
         "corpus_pii_scan": C.pii_scan_oracle(),

@@ -37,6 +37,7 @@ DOC_OPS = (
     "corpus_stats",
     "doc_length_histogram",
     "doc_length_quantiles",
+    "doc_chunk_split",
     "doc_repetition",
     "doc_gopher_flags",
     "corpus_pii_scan",
@@ -76,6 +77,7 @@ def registry(params=None):
         "corpus_stats": C.corpus_stats_query,
         "doc_length_histogram": C.doc_length_histogram_query,
         "doc_length_quantiles": C.doc_length_quantiles_query,
+        "doc_chunk_split": C.doc_chunk_split_query,
         "doc_repetition": C.doc_repetition_query,
         "doc_gopher_flags": C.gopher_flags_query,
         "corpus_pii_scan": C.pii_scan_query,

@@ -304,6 +304,70 @@ def doc_length_quantiles_sql(d: SqlDialect, rel: str = "documents") -> str:
     """
 
 
+# -- fixed-window document chunking --------------------------------------------
+CHUNK_SIZE = 64      # tokens per chunk
+CHUNK_OVERLAP = 16   # tokens shared with the previous chunk
+
+
+def doc_chunk_split_sql(
+    d: SqlDialect,
+    rel: str = "documents",
+    size: int = CHUNK_SIZE,
+    overlap: int = CHUNK_OVERLAP,
+) -> str:
+    """Split every document into fixed-size token windows with overlap
+    — the retrieval/pretraining chunking primitive (sequence packing
+    concatenates whole docs up to a budget; this is the complementary
+    cut that splits LONG docs into model-window-sized pieces).
+
+    One chunk per ``stride = size - overlap`` tokens; a chunk is
+    emitted only while it contributes at least one NEW token, and every
+    doc yields at least one chunk (short docs become one short chunk).
+    Chunk text is the token window rejoined with single spaces — the
+    tokenizer's canonical form (tokens_expr: lowercased, whitespace
+    split), shared with every other textop.
+
+    Scale shape: per-row explode of an integer sequence (no shuffle,
+    whole-stage codegen); output rows ~ corpus tokens / stride. The
+    token array is materialized once per doc in the CTE and sliced per
+    chunk — never re-split per chunk.
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap {overlap} must be < size {size}")
+    stride = size - overlap
+    toks = tokens_expr(d, "text")
+    n = "n_tokens"
+    # ceil((n - overlap) / stride), at least 1  (int division on
+    # non-negative operands truncates = floors on both engines)
+    n_chunks = (
+        f"greatest(1, {d.int_div(f'greatest({n} - {overlap}, 0) + {stride} - 1', str(stride))})"
+    )
+    if d.name == d.SPARK:
+        gen = f"explode(sequence(0, CAST({n_chunks} AS INT) - 1))"
+        chunk = f"array_join(slice(toks, chunk_idx * {stride} + 1, {size}), ' ')"
+    else:
+        gen = f"unnest(generate_series(0, CAST({n_chunks} AS INT) - 1))"
+        chunk = (
+            f"array_to_string(list_slice(toks, chunk_idx * {stride} + 1, "
+            f"chunk_idx * {stride} + {size}), ' ')"
+        )
+    return f"""
+    WITH per_doc AS (
+      SELECT doc_id, {toks} AS toks, {token_count_items(d)['n_tokens']} AS n_tokens
+      FROM {rel}
+    ),
+    exploded AS (
+      SELECT doc_id, toks, n_tokens, {gen} AS chunk_idx FROM per_doc
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(least({size}, n_tokens - chunk_idx * {stride}) AS INT)
+             AS chunk_tokens,
+           {chunk} AS chunk_text
+    FROM exploded
+    """
+
+
 # -- benchmark-contamination check -------------------------------------------
 CONTAMINATION_MIN_SHARED = 5
 

@@ -172,6 +172,9 @@ doc_length_histogram_query, doc_length_histogram_oracle = _sql_query(
 doc_length_quantiles_query, doc_length_quantiles_oracle = _sql_query(
     textops.doc_length_quantiles_sql, ("documents",)
 )
+doc_chunk_split_query, doc_chunk_split_oracle = _sql_query(
+    textops.doc_chunk_split_sql, ("documents",)
+)
 doc_repetition_query, doc_repetition_oracle = _doc_items_query(
     textops.repetition_items
 )

@@ -467,3 +467,63 @@ def test_doc_length_quantiles_matches_oracle(spark, duck, sf_dir):
     assert_df_equals_oracle(df, duck, doc_length_quantiles_sql(DUCKDB))
     # the stopword split is real on the fixture (both verdicts present)
     assert df.select("stopword_ok").distinct().count() == 2
+
+
+def test_doc_chunk_split_invariants(spark, duck):
+    """Window-chunking edge cases on synthetic docs (the fixture has no
+    empty/boundary-length texts): every doc yields >= 1 chunk, chunk
+    starts advance by the stride, token counts are window-clamped, and
+    stitching the non-overlapping tails back together reproduces the
+    canonical token stream. Dual-engine, so the slice/series semantics
+    the SQL leans on stay pinned."""
+    from slog_agent_spark.functions.dialect import DUCKDB, SPARK
+    from slog_agent_spark.operators.textops import (
+        CHUNK_OVERLAP,
+        CHUNK_SIZE,
+        doc_chunk_split_sql,
+    )
+
+    stride = CHUNK_SIZE - CHUNK_OVERLAP
+    rows = [
+        (1, "one"),
+        (2, " ".join(f"t{i}" for i in range(CHUNK_SIZE))),       # exactly S
+        (3, " ".join(f"t{i}" for i in range(CHUNK_SIZE + 1))),   # S + 1
+        (4, " ".join(f"w{i}" for i in range(CHUNK_SIZE * 3 + 7))),
+        (5, " ".join(f"x{i}" for i in range(stride))),
+    ]
+    spark.createDataFrame(rows, "doc_id LONG, text STRING") \
+        .createOrReplaceTempView("chunk_docs")
+    df = spark.sql(doc_chunk_split_sql(SPARK, rel="chunk_docs"))
+    vals = ", ".join(
+        f"({i}, '{t}')" for i, t in rows
+    )
+    assert_df_equals_oracle(
+        df, duck,
+        doc_chunk_split_sql(
+            DUCKDB, rel=f"(VALUES {vals}) docs(doc_id, text)"
+        ),
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_tokens"], r["chunk_text"])
+        for r in df.collect()
+    }
+    by_doc: dict = {}
+    for (doc, idx), v in sorted(got.items()):
+        by_doc.setdefault(doc, []).append((idx, *v))
+    # every doc chunks; boundary sizes produce the expected counts
+    assert {d: len(c) for d, c in by_doc.items()} == {
+        1: 1, 2: 1, 3: 2, 4: 4, 5: 1,
+    }
+    for doc_id, text in rows:
+        toks = text.lower().split()
+        chunks = by_doc[doc_id]
+        # reconstruct: first chunk whole, then each chunk's tail past
+        # the overlap
+        stitched = chunks[0][2].split()
+        for _, _, ctext in chunks[1:]:
+            stitched += ctext.split()[CHUNK_OVERLAP:]
+        assert stitched == toks, f"doc {doc_id} does not reconstruct"
+        for idx, ntok, ctext in chunks:
+            assert ntok == len(ctext.split())
+            assert ntok <= CHUNK_SIZE
+            assert ctext.split() == toks[idx * stride: idx * stride + CHUNK_SIZE]
