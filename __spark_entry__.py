@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_histogram": C.doc_length_histogram_query,
         "doc_length_quantiles": C.doc_length_quantiles_query,
         "doc_chunk_split": C.doc_chunk_split_query,
+        "ann_list_occupancy": C.ann_list_occupancy_query,
         "doc_repetition": lambda spark, sf: _cast_counts_long(
             C.doc_repetition_query(spark, sf)
         ),
@@ -188,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_histogram": C.doc_length_histogram_oracle(),
         "doc_length_quantiles": C.doc_length_quantiles_oracle(),
         "doc_chunk_split": C.doc_chunk_split_oracle(),
+        "ann_list_occupancy": C.ann_list_occupancy_oracle(),
         "doc_repetition": C.doc_repetition_oracle(),
         "doc_gopher_flags": C.gopher_flags_oracle(),
         "corpus_pii_scan": C.pii_scan_oracle(),

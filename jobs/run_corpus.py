@@ -38,6 +38,7 @@ DOC_OPS = (
     "doc_length_histogram",
     "doc_length_quantiles",
     "doc_chunk_split",
+    "ann_list_occupancy",
     "doc_repetition",
     "doc_gopher_flags",
     "corpus_pii_scan",
@@ -78,6 +79,7 @@ def registry(params=None):
         "doc_length_histogram": C.doc_length_histogram_query,
         "doc_length_quantiles": C.doc_length_quantiles_query,
         "doc_chunk_split": C.doc_chunk_split_query,
+        "ann_list_occupancy": C.ann_list_occupancy_query,
         "doc_repetition": C.doc_repetition_query,
         "doc_gopher_flags": C.gopher_flags_query,
         "corpus_pii_scan": C.pii_scan_query,

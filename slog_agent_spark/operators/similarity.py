@@ -493,6 +493,51 @@ def neardup_pairs_from_assigned_sql(
     """
 
 
+def ivf_occupancy_sql(
+    d: SqlDialect,
+    emb_rel: str = "embeddings",
+    cents_rel: str | None = None,
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
+) -> str:
+    """IVF list occupancy: (centroid_id, n_vectors, permille) — the
+    vector-side twin of the LSH band-occupancy view (dedup.band_index):
+    list sizes ARE the skew profile of every downstream cost. A hot
+    list inflates the in-bucket pair join of ``embedding_neardup``
+    quadratically and every probe that ranks it; the fixes (probe more
+    + smaller lists via more centroids, or block-salt the pair join
+    like ``dedup_minhash_lsh_salted``) are sized from exactly this
+    histogram, the same way choose_salt_buckets reads the keyset
+    histogram.
+
+    Scale shape: one broadcast argmax assignment (the corpus never
+    shuffles for the window — row_number partitions by vec_id within
+    the scan) + one groupBy over |centroids| keys with map-side
+    partials. Permille is integer fixed-point so the report stays
+    hash-stable cross-engine.
+    """
+    if cents_rel is None:
+        kmeans, cents = kmeans_centroids_ctes(
+            d, emb_rel, n_centroids=params.trained_centroids,
+            sample_mod=params.kmeans_sample_mod, iters=params.kmeans_iters,
+        )
+        prelude = f"WITH {kmeans},"
+    else:
+        cents = cents_rel
+        prelude = "WITH"
+    assign = ivf_multi_assign_sql(d, emb_rel, cents, assign_r=1)
+    return f"""
+    {prelude}
+    assigned AS ({assign}),
+    tot AS (SELECT count(*) AS n FROM assigned)
+    SELECT centroid_id,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST({d.int_div('count(*) * 1000', '(SELECT n FROM tot)')} AS BIGINT)
+             AS permille
+    FROM assigned
+    GROUP BY centroid_id
+    """
+
+
 def ann_topk_batch_sql(
     d: SqlDialect,
     n_queries: int = 5,

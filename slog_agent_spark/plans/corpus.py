@@ -145,6 +145,12 @@ ann_ivf_trained_query, ann_ivf_trained_oracle = _staged_query(
     similarity.ann_ivf_trained_sql,
     ("embeddings",),
 )
+ann_list_occupancy_query, ann_list_occupancy_oracle = _staged_query(
+    [("ivf_centroids", similarity.ivf_centroids_sql)],
+    lambda d: similarity.ivf_occupancy_sql(d, cents_rel="ivf_centroids"),
+    similarity.ivf_occupancy_sql,
+    ("embeddings",),
+)
 ann_topk_batch_query, ann_topk_batch_oracle = _staged_query(
     [("ivf_centroids", similarity.ivf_centroids_sql)],
     lambda d: similarity.ann_topk_batch_sql(d, cents_rel="ivf_centroids"),
