@@ -38,6 +38,11 @@ watermarked, pipeline/wire/neardup are foreachBatch exactly-once):
                appends to the bucketed vector store under --output;
                query it with streaming/ann_stream.ann_query_store
                (partition-pruned to the probed lists)
+    ann-neardup  ann-ingest PLUS incremental embedding-cosine near-dup:
+               each micro-batch multi-assigns its vectors, compares
+               them against the store's touched lists, and appends
+               verified pairs under <store>/pairs (each unordered pair
+               exactly once, in its later vector's batch)
     ann-compact  fold the vector store's committed per-batch partitions
                (run between drains; --output = the store dir)
     docdedup   incremental exact dedup over a DOCUMENT stream
@@ -71,8 +76,9 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--mode", default="pipeline",
                     choices=["pipeline", "wire", "neardup", "neardup-compact",
                              "events-compact", "ann-train", "ann-ingest",
-                             "ann-compact", "docdedup", "docdedup-compact",
-                             "sessions", "dedup", "counters"])
+                             "ann-neardup", "ann-compact", "docdedup",
+                             "docdedup-compact", "sessions", "dedup",
+                             "counters"])
     ap.add_argument("--salts", type=int, default=1,
                     help="wire mode: sub-chunkers per hot tag")
     ap.add_argument("--wire-format", default="fluentd",
@@ -125,7 +131,7 @@ def main(argv: list[str]) -> int:
                 spark, args.input, args.output, args.checkpoint
             )
             return 0
-        if args.mode in ("ann-train", "ann-ingest"):
+        if args.mode in ("ann-train", "ann-ingest", "ann-neardup"):
             from slog_agent_spark.streaming import ann_stream as A
 
             if not args.centroids:
@@ -138,7 +144,7 @@ def main(argv: list[str]) -> int:
             else:
                 A.run_stream_ann_ingest(
                     spark, args.input, args.output, args.checkpoint,
-                    args.centroids,
+                    args.centroids, neardup=(args.mode == "ann-neardup"),
                 )
             return 0
         if args.mode in ("neardup-compact", "events-compact", "ann-compact",

@@ -67,46 +67,184 @@ def _read_cents(spark: SparkSession, cents_path: str) -> DataFrame:
     return spark.read.parquet(cents_path)
 
 
+def _assign_batch(batch_df: DataFrame, cents_path: str, assign_r: int):
+    """Multi-assignment of a micro-batch against the frozen centroids:
+    (vec_id, label, embedding, nrm, centroid_id, arank) with
+    arank = 1..assign_r — the batch ``ivf_multi_assign`` rule (same
+    rounded cosine, same centroid_id tie-break) applied to the batch's
+    vectors only."""
+    spark = batch_df.sparkSession
+    batch_df.createOrReplaceTempView("ann_batch_embs")
+    _read_cents(spark, cents_path).createOrReplaceTempView("ann_cents")
+    cos_assign = similarity.cosine_expr(SPARK_D, "e.embedding", "c.emb")
+    nrm = similarity.norm_expr(SPARK_D, "embedding")
+    return spark.sql(f"""
+    SELECT vec_id, label, embedding, {nrm} AS nrm, centroid_id,
+           CAST(rn AS INT) AS arank
+    FROM (
+      SELECT e.vec_id, e.label, e.embedding, c.centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {cos_assign} DESC, c.centroid_id) AS rn
+      FROM ann_batch_embs e CROSS JOIN ann_cents c
+    ) x WHERE rn <= {assign_r}
+    """)
+
+
+def _commit_vectors(assigned: DataFrame, store_dir: str, batch_id: int) -> None:
+    # one task per list -> one file per (batch, centroid_id) dir
+    write_table(
+        assigned.repartition(F.col("centroid_id"))
+        .withColumn("batch_id", F.lit(batch_id)),
+        f"{store_dir}/vectors",
+        partition_by=["batch_id", "centroid_id"],
+        mode="overwrite_partitions",
+    )
+
+
 def ann_ingest_batch_handler(
     store_dir: str,
     cents_path: str,
     params: CorpusParams = DEFAULT_CORPUS_PARAMS,
+    assign_r: int = 1,
     stats: list | None = None,
 ):
-    """foreachBatch handler: assign the batch's vectors to their IVF
-    lists and append them to the bucketed vector store.
+    """foreachBatch handler: assign the batch's vectors to their
+    ``assign_r`` nearest IVF lists and append them to the bucketed
+    vector store (arank column records the assignment rank; top-k
+    queries use the arank=1 rows, the near-dup handler compares within
+    any shared list).
 
     Per-batch cost is |batch| x |centroids| cosines (the centroid side
-    is tiny and broadcast) + one write of |batch| rows — independent of
-    accumulated store size; the store is never read on ingest.
+    is tiny and broadcast) + one write of |batch| x assign_r rows —
+    independent of accumulated store size; the store is never read on
+    ingest.
     """
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch_df.createOrReplaceTempView("ann_batch_embs")
-        _read_cents(spark, cents_path).createOrReplaceTempView("ann_cents")
-        cos_assign = similarity.cosine_expr(SPARK_D, "e.embedding", "c.emb")
-        nrm = similarity.norm_expr(SPARK_D, "embedding")
-        assigned = spark.sql(f"""
-        SELECT vec_id, label, embedding, {nrm} AS nrm, centroid_id FROM (
-          SELECT e.vec_id, e.label, e.embedding, c.centroid_id,
-                 row_number() OVER (PARTITION BY e.vec_id
-                                    ORDER BY {cos_assign} DESC, c.centroid_id) AS rn
-          FROM ann_batch_embs e CROSS JOIN ann_cents c
-        ) x WHERE rn = 1
-        """)
-        # one task per list -> one file per (batch, centroid_id) dir
-        write_table(
-            assigned.repartition(F.col("centroid_id"))
-            .withColumn("batch_id", F.lit(batch_id)),
-            f"{store_dir}/vectors",
-            partition_by=["batch_id", "centroid_id"],
-            mode="overwrite_partitions",
-        )
+        assigned = _assign_batch(batch_df, cents_path, assign_r)
+        _commit_vectors(assigned, store_dir, batch_id)
         if stats is not None:
             stats.append({
                 "batch_id": batch_id,
-                "n_ingested": assigned.count(),
+                "n_ingested": assigned.where("arank = 1").count(),
+            })
+
+    return handle
+
+
+def ann_neardup_batch_handler(
+    store_dir: str,
+    cents_path: str,
+    threshold: float = 0.3,
+    assign_r: int = 2,
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
+    stats: list | None = None,
+):
+    """foreachBatch handler for INCREMENTAL embedding-cosine near-dup —
+    the streaming twin of the batch ``embedding_neardup_trained`` query
+    (multi-assignment IVF bucketing, cosine verify): each micro-batch
+    multi-assigns its vectors, joins its assignments against the vector
+    store's touched lists (new-vs-store catches pairs across batches,
+    new-vs-new within one), verifies candidates with the stored norms,
+    and appends (vectors, pairs) to the store.
+
+    Invariant (tested): after draining any input split, the union of
+    per-batch pair outputs equals the batch trained near-dup pair set
+    over the same corpus and centroids — each unordered pair emitted
+    exactly once, in the batch of its LATER vector.
+
+    Scale shape: the store read is partition-pruned to the lists this
+    batch's assignments touch — the same probed-list shape as an IVF
+    query, bounded by |batch| x assign_r lists, never the corpus; the
+    verify needs no second fetch because every pruned row carries its
+    embedding and norm. Exactly-once: both tables partition by batch_id
+    (dynamic overwrite), store reads exclude the current batch_id.
+    ``stats`` receives per-batch candidate/scan counts.
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch_df.sparkSession
+        new_assigned = _assign_batch(
+            batch_df, cents_path, assign_r
+        ).localCheckpoint()
+        new_assigned.createOrReplaceTempView("annd_new")
+
+        path = f"{store_dir}/vectors"
+        _store.heal_swapped_dir(path)
+        touched = [
+            r["centroid_id"]
+            for r in new_assigned.select("centroid_id").distinct().collect()
+        ]
+        try:
+            store = spark.read.parquet(path)
+        except AnalysisException:
+            store = None
+        n_scanned = 0
+        has_store = store is not None
+        if has_store:
+            pruned = store.where(
+                (F.col("batch_id").cast("long") != batch_id)
+                & F.col("centroid_id").isin(touched)
+            ).select(
+                "vec_id", "embedding", "nrm",
+                F.col("centroid_id").cast("int").alias("centroid_id"),
+            ).localCheckpoint()
+            pruned.createOrReplaceTempView("annd_store")
+            if stats is not None:
+                n_scanned = pruned.count()
+        store_rows = (
+            "UNION ALL SELECT vec_id, centroid_id FROM annd_store"
+            if has_store else ""
+        )
+        cos = similarity.cosine_prenorm_expr(
+            SPARK_D, "ea.embedding", "eb.embedding", "ea.nrm", "eb.nrm"
+        )
+        emb_rows = (
+            "UNION ALL SELECT vec_id, embedding, nrm FROM annd_store"
+            if has_store else ""
+        )
+        pairs = spark.sql(f"""
+        WITH alla AS (
+          SELECT vec_id, centroid_id FROM annd_new
+          {store_rows}
+        ),
+        cand AS (
+          SELECT DISTINCT least(n.vec_id, o.vec_id) AS vec_a,
+                          greatest(n.vec_id, o.vec_id) AS vec_b
+          FROM annd_new n
+          JOIN alla o ON n.centroid_id = o.centroid_id
+                     AND n.vec_id <> o.vec_id
+        ),
+        embs AS (
+          SELECT vec_id, embedding, nrm FROM (
+            SELECT vec_id, embedding, nrm,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY vec_id) AS dd
+            FROM (SELECT vec_id, embedding, nrm FROM annd_new {emb_rows})
+          ) z WHERE dd = 1
+        )
+        SELECT vec_a, vec_b, cosine FROM (
+          SELECT c.vec_a, c.vec_b, {cos} AS cosine{SPARK_D.fence_field()}
+          FROM cand c
+          JOIN embs ea ON ea.vec_id = c.vec_a
+          JOIN embs eb ON eb.vec_id = c.vec_b
+        ) v WHERE {SPARK_D.fence_pred()}cosine >= {threshold}
+        """)
+        write_table(
+            pairs.withColumn("batch_id", F.lit(batch_id)),
+            f"{store_dir}/pairs",
+            partition_by=["batch_id"],
+            mode="overwrite_partitions",
+        )
+        _commit_vectors(new_assigned, store_dir, batch_id)
+        if stats is not None:
+            stats.append({
+                "batch_id": batch_id,
+                "n_new_vectors": new_assigned.where("arank = 1").count(),
+                "touched_lists": len(touched),
+                "store_rows_scanned": n_scanned,
             })
 
     return handle
@@ -136,7 +274,10 @@ def ann_query_store(
     probes = params.trained_probes if probes is None else probes
     path = f"{store_dir}/vectors"
     _store.heal_swapped_dir(path)
-    store = spark.read.parquet(path)
+    # arank=1 rows are each vector's canonical (argmax-list) placement —
+    # the batch query's rn=1 assignment; higher ranks exist only for the
+    # near-dup handler's bucket overlap
+    store = spark.read.parquet(path).where(F.col("arank") == 1)
     _read_cents(spark, cents_path).createOrReplaceTempView("ann_cents")
 
     # query relation: tiny (vec_id pushdown on the parquet scan)
@@ -185,10 +326,11 @@ def ann_query_store(
 
 
 def compact_ann_store(spark: SparkSession, store_dir: str) -> dict:
-    """Fold the vector store's committed per-batch partitions into the
-    bounded base generation (shared primitive, streaming/store.py);
-    each list's base files are sorted by vec_id for parquet row-group
-    skipping. Run between drains."""
+    """Fold the vector store's (and, when the near-dup handler runs,
+    the pair store's) committed per-batch partitions into the bounded
+    base generation (shared primitive, streaming/store.py); each list's
+    base files are sorted by vec_id for parquet row-group skipping.
+    Run between drains."""
     report = {}
     r = _store.fold_batch_partitions(
         spark, f"{store_dir}/vectors",
@@ -196,6 +338,9 @@ def compact_ann_store(spark: SparkSession, store_dir: str) -> dict:
     )
     if r is not None:
         report["vectors"] = r
+    r = _store.fold_batch_partitions(spark, f"{store_dir}/pairs")
+    if r is not None:
+        report["pairs"] = r
     return report
 
 
@@ -206,9 +351,11 @@ def run_stream_ann_ingest(
     checkpoint_dir: str,
     cents_path: str,
     params: CorpusParams = DEFAULT_CORPUS_PARAMS,
+    neardup: bool = False,
 ) -> None:
     """Drain an embedding stream (vec_id, label, embedding) into the IVF
-    vector store (availableNow trigger)."""
+    vector store (availableNow trigger); with ``neardup`` the near-dup
+    handler also emits cosine pairs per micro-batch."""
     from pyspark.sql.types import (
         ArrayType, FloatType, IntegerType, LongType, StructField, StructType,
     )
@@ -225,7 +372,9 @@ def run_stream_ann_ingest(
     )
     q = (
         src.writeStream.foreachBatch(
-            ann_ingest_batch_handler(store_dir, cents_path, params)
+            ann_neardup_batch_handler(store_dir, cents_path, params=params)
+            if neardup
+            else ann_ingest_batch_handler(store_dir, cents_path, params)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
