@@ -84,6 +84,12 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--wire-format", default="fluentd",
                     choices=["fluentd", "datadog"],
                     help="wire mode: output protocol")
+    ap.add_argument("--compact-mode", default="incremental",
+                    choices=["incremental", "full"],
+                    help="compact modes: incremental folds only newly "
+                         "committed batches into a new generation "
+                         "(O(new data) IO); full merges every "
+                         "generation into the base (O(store), rare)")
     ap.add_argument("--centroids", default=None,
                     help="ann modes: path of the materialized centroid "
                          "table (written by ann-train, read by ann-ingest)")
@@ -161,7 +167,7 @@ def main(argv: list[str]) -> int:
                     "events-compact": S.compact_events_sink,
                     "docdedup-compact": S.compact_docdedup_store,
                 }[args.mode]
-            report = compact(spark, args.output)
+            report = compact(spark, args.output, mode=args.compact_mode)
             for table, r in report.items():
                 print(f"compacted {table}: {r['rows']} rows, "
                       f"{r['files_before']} -> {r['files_after']} files")

@@ -325,7 +325,9 @@ def ann_query_store(
     """)
 
 
-def compact_ann_store(spark: SparkSession, store_dir: str) -> dict:
+def compact_ann_store(
+    spark: SparkSession, store_dir: str, mode: str = "incremental"
+) -> dict:
     """Fold the vector store's (and, when the near-dup handler runs,
     the pair store's) committed per-batch partitions into the bounded
     base generation (shared primitive, streaming/store.py); each list's
@@ -334,11 +336,13 @@ def compact_ann_store(spark: SparkSession, store_dir: str) -> dict:
     report = {}
     r = _store.fold_batch_partitions(
         spark, f"{store_dir}/vectors",
-        secondary="centroid_id", sort_keys=["vec_id"],
+        secondary="centroid_id", sort_keys=["vec_id"], mode=mode,
     )
     if r is not None:
         report["vectors"] = r
-    r = _store.fold_batch_partitions(spark, f"{store_dir}/pairs")
+    r = _store.fold_batch_partitions(
+        spark, f"{store_dir}/pairs", mode=mode
+    )
     if r is not None:
         report["pairs"] = r
     return report

@@ -41,11 +41,29 @@ BASE_BATCH = -1
 
 
 def heal_swapped_dir(path: str) -> None:
-    """Recover a store table from a compaction crash between the two
-    directory renames: if ``<path>`` is gone but ``<path>_old`` exists,
-    the old generation is intact — restore it."""
+    """Recover a store table from a compaction crash: completes a full
+    fold's rename swap (if ``<path>`` is gone but ``<path>_old`` exists,
+    the old generation is intact — restore it) and an incremental
+    fold's source cleanup (a generation directory carrying a
+    ``_folded.json`` manifest whose source batch directories still
+    exist means the crash hit between the generation becoming visible
+    and the sources being removed — remove them, or every folded row
+    counts twice)."""
     if not os.path.exists(path) and os.path.exists(f"{path}_old"):
         os.rename(f"{path}_old", path)
+    if not os.path.isdir(path):
+        return
+    import json
+
+    for d in os.listdir(path):
+        manifest = os.path.join(path, d, "_folded.json")
+        if d.startswith("batch_id=") and os.path.exists(manifest):
+            with open(manifest, encoding="utf-8") as fh:
+                folded = json.load(fh)["folded"]
+            for b in folded:
+                shutil.rmtree(
+                    os.path.join(path, f"batch_id={b}"), ignore_errors=True
+                )
 
 
 def count_parquet_files(path: str) -> int:
@@ -55,6 +73,21 @@ def count_parquet_files(path: str) -> int:
     )
 
 
+def _shape(df, secondary, n_tasks, sort_keys):
+    if secondary:
+        if n_tasks:
+            df = df.repartition(n_tasks, F.col(secondary))
+        else:
+            df = df.repartition(F.col(secondary))
+        if sort_keys:
+            df = df.sortWithinPartitions(secondary, *sort_keys)
+    else:
+        df = df.coalesce(1)
+        if sort_keys:
+            df = df.sortWithinPartitions(*sort_keys)
+    return df
+
+
 def fold_batch_partitions(
     spark: SparkSession,
     path: str,
@@ -62,23 +95,45 @@ def fold_batch_partitions(
     n_tasks: int | None = None,
     sort_keys: list[str] | None = None,
     base_batch: int = BASE_BATCH,
+    mode: str = "incremental",
 ) -> dict | None:
-    """Fold a ``batch_id``-partitioned table's committed batches into the
-    base generation. Returns {rows, files_before, files_after}, or None
-    if the table doesn't exist or has nothing to fold.
+    """Fold a ``batch_id``-partitioned table's committed batches into a
+    compacted generation. Returns {rows, files_before, files_after} —
+    ``rows`` counts what the fold wrote (the new generation for
+    incremental, the whole rebuilt table for full) — or None if the
+    table doesn't exist or has nothing to fold.
+
+    Two modes, the LSM trade:
+
+    - ``incremental`` (default): fold ONLY the newly committed live
+      batches (never the max live batch — the one the checkpoint could
+      still replay) into a NEW negative generation. IO per compaction
+      is O(new data), not O(store) — the only shape that survives a
+      long-running stream over 10^12 rows. Generations accumulate one
+      per compaction until a full fold merges them. Crash-safe: the
+      generation is built in a side directory with a ``_folded.json``
+      manifest naming its source batches, renamed into the table in one
+      step, then the sources are removed; :func:`heal_swapped_dir`
+      completes the removal if the crash lands between the two.
+    - ``full``: merge everything except the max live batch into the
+      single base generation (``batch_id = base_batch``) via the
+      write-new-tree-and-swap protocol — O(store) IO, run rarely (the
+      major compaction that also re-sorts old generations together).
 
     - ``secondary``: a second partition column kept through the fold
       (state-store bucket, sink tag); folded rows are repartitioned by
-      it so each (base, secondary) directory gets ~one file.
+      it so each (generation, secondary) directory gets ~one file.
     - ``n_tasks``: task count for that repartition (bucketed stores pass
-      their bucket count; default = number of distinct values is left
-      to AQE via a plain column repartition).
+      their bucket count).
     - ``sort_keys``: sortWithinPartitions keys, so post-fold lookups
       skip row groups via parquet min/max stats on top of partition
-      pruning (e.g. the band store sorts by band_key).
+      pruning (e.g. the band store sorts by band_key). Each incremental
+      generation is sorted individually; the full fold re-sorts all.
     """
     from pyspark.errors import AnalysisException
 
+    if mode not in ("incremental", "full"):
+        raise ValueError(f"unknown fold mode: {mode!r}")
     heal_swapped_dir(path)
     try:
         df = spark.read.parquet(path)
@@ -89,29 +144,56 @@ def fold_batch_partitions(
             F.col("batch_id").cast("long").alias("b")
         ).distinct().collect()
     )
-    live = [b for b in batches if b != base_batch]
-    if len(batches) <= 1 or not live:
-        return None  # nothing to fold
+    live = [b for b in batches if b >= 0]
+    if not live:
+        return None
     keep = max(live)
     files_before = count_parquet_files(path)
-    folded = df.where(F.col("batch_id").cast("long") != keep).withColumn(
-        "batch_id", F.lit(base_batch).cast("long")
-    )
-    if secondary:
-        if n_tasks:
-            folded = folded.repartition(n_tasks, F.col(secondary))
+    parts = ["batch_id"] + ([secondary] if secondary else [])
+
+    if mode == "incremental":
+        to_fold = [b for b in live if b != keep]
+        if not to_fold:
+            return None
+        gen = min(min(batches) - 1, base_batch)
+        folded = _shape(
+            df.where(F.col("batch_id").cast("long").isin(to_fold))
+            .drop("batch_id"),
+            secondary, n_tasks, sort_keys,
+        )
+        import json
+
+        tmp = f"{path}_gen_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        if secondary:
+            folded.write.partitionBy(secondary).mode("overwrite").parquet(tmp)
         else:
-            folded = folded.repartition(F.col(secondary))
-        if sort_keys:
-            folded = folded.sortWithinPartitions(secondary, *sort_keys)
-    else:
-        folded = folded.coalesce(1)
-        if sort_keys:
-            folded = folded.sortWithinPartitions(*sort_keys)
+            folded.write.mode("overwrite").parquet(tmp)
+        n_rows = spark.read.parquet(tmp).count()
+        with open(f"{tmp}/_folded.json", "w", encoding="utf-8") as fh:
+            json.dump({"folded": to_fold}, fh)
+        # one rename makes the generation visible WITH its manifest;
+        # source removal follows (healed on crash by heal_swapped_dir)
+        os.rename(tmp, f"{path}/batch_id={gen}")
+        for b in to_fold:
+            shutil.rmtree(f"{path}/batch_id={b}", ignore_errors=True)
+        return {
+            "rows": n_rows,
+            "files_before": files_before,
+            "files_after": count_parquet_files(path),
+        }
+
+    if len(batches) <= 1:
+        return None  # single generation: nothing to merge
+    folded = _shape(
+        df.where(F.col("batch_id").cast("long") != keep).withColumn(
+            "batch_id", F.lit(base_batch).cast("long")
+        ),
+        secondary, n_tasks, sort_keys,
+    )
     kept = df.where(F.col("batch_id").cast("long") == keep).withColumn(
         "batch_id", F.col("batch_id").cast("long")
     )
-    parts = ["batch_id"] + ([secondary] if secondary else [])
     tmp = f"{path}_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     cols = folded.columns

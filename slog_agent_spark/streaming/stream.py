@@ -515,6 +515,7 @@ def compact_neardup_store(
     store_dir: str,
     band_buckets: int = NEARDUP_BAND_BUCKETS,
     sig_buckets: int = NEARDUP_SIG_BUCKETS,
+    mode: str = "incremental",
 ) -> dict:
     """Fold the near-dup store's committed per-batch partitions into one
     base partition (``batch_id=-1``) with bounded file counts — the
@@ -546,13 +547,16 @@ def compact_neardup_store(
         r = _store.fold_batch_partitions(
             spark, f"{store_dir}/{table}",
             secondary=bucket_col, n_tasks=nbkts, sort_keys=sort_keys,
+            mode=mode,
         )
         if r is not None:
             report[table] = r
     return report
 
 
-def compact_events_sink(spark: SparkSession, sink_dir: str) -> dict:
+def compact_events_sink(
+    spark: SparkSession, sink_dir: str, mode: str = "incremental"
+) -> dict:
     """Fold the streaming pipeline sink's committed (batch_id, tag)
     partitions into the bounded base generation — the events/metrics
     twin of :func:`compact_neardup_store` (same sprawl: one directory
@@ -574,11 +578,13 @@ def compact_events_sink(spark: SparkSession, sink_dir: str) -> dict:
     report = {}
     r = _store.fold_batch_partitions(
         spark, f"{sink_dir}/events",
-        secondary="tag", sort_keys=["conv_id", "turn_idx"],
+        secondary="tag", sort_keys=["conv_id", "turn_idx"], mode=mode,
     )
     if r is not None:
         report["events"] = r
-    r = _store.fold_batch_partitions(spark, f"{sink_dir}/metrics")
+    r = _store.fold_batch_partitions(
+        spark, f"{sink_dir}/metrics", mode=mode
+    )
     if r is not None:
         report["metrics"] = r
     return report
@@ -730,6 +736,7 @@ def docdedup_rollup(spark: SparkSession, store_dir: str) -> DataFrame:
 def compact_docdedup_store(
     spark: SparkSession, store_dir: str,
     hash_buckets: int = DOCDEDUP_HASH_BUCKETS,
+    mode: str = "incremental",
 ) -> dict:
     """Bounded-generation fold for the dedup hash store (shared
     primitive, streaming/store.py); base buckets sort by content_hash
@@ -738,7 +745,7 @@ def compact_docdedup_store(
     r = _store.fold_batch_partitions(
         spark, f"{store_dir}/hashes",
         secondary="hash_bkt", n_tasks=hash_buckets,
-        sort_keys=["content_hash"],
+        sort_keys=["content_hash"], mode=mode,
     )
     if r is not None:
         report["hashes"] = r

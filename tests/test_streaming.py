@@ -567,7 +567,10 @@ def test_streaming_events_sink_compaction(spark, sf_dir):
         # tag partitioning survives the fold (per-sink consumers prune on it)
         import os
 
-        base_dirs = os.listdir(f"{sink}/events/batch_id=-1")
+        base_dirs = [
+            d for d in os.listdir(f"{sink}/events/batch_id=-1")
+            if not d.startswith(("_", "."))  # manifest/_SUCCESS markers
+        ]
         assert base_dirs and all(d.startswith("tag=") for d in base_dirs)
         # contents and metric rollup preserved
         assert rows(ev) == before_events
@@ -587,10 +590,21 @@ def test_streaming_events_sink_compaction(spark, sf_dir):
         assert rows(stream_metrics_total(spark, sink)) == rows(
             process_metrics(transform_transcripts(t))
         )
-        # a second compaction folds the previous base AND the
-        # now-committed batch 2 down to (base + max live batch 3) — the
-        # store stays at two generations regardless of stream age
+        # a second incremental compaction folds ONLY the now-committed
+        # batch 2 into a NEW generation (O(new data) IO — the LSM
+        # default; the base generation is untouched)
         compact_events_sink(spark, sink)
+        batch_ids = sorted(
+            r["b"] for r in spark.read.parquet(f"{sink}/events")
+            .selectExpr("CAST(batch_id AS LONG) AS b").distinct().collect()
+        )
+        assert batch_ids == [-2, -1, 3]
+        assert rows(stream_metrics_total(spark, sink)) == rows(
+            process_metrics(transform_transcripts(t))
+        )
+        # a FULL fold (the rare major compaction) merges the
+        # generations back to (base + max live)
+        compact_events_sink(spark, sink, mode="full")
         batch_ids = sorted(
             r["b"] for r in spark.read.parquet(f"{sink}/events")
             .selectExpr("CAST(batch_id AS LONG) AS b").distinct().collect()
@@ -683,3 +697,57 @@ def test_streaming_docdedup_equals_batch_any_order(spark, sf_dir):
         dup_hash = new_rows[0]["content_hash"]
         want_sizes = dict((h, g) for h, _, g in want)
         assert rolled[dup_hash] == want_sizes[dup_hash] + 1
+
+
+def test_incremental_fold_crash_heal(spark, sf_dir):
+    """The incremental fold's crash window — generation visible, source
+    batch directories not yet removed — must heal on the next store
+    access instead of double-counting every folded row."""
+    import os
+    import shutil
+
+    from slog_agent_spark.streaming.stream import (
+        docdedup_batch_handler,
+        docdedup_rollup,
+    )
+    from slog_agent_spark.streaming.store import fold_batch_partitions
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    parts = [docs.where(f"pmod(hash(doc_id), 3) = {i}") for i in range(3)]
+    with tempfile.TemporaryDirectory() as work:
+        store = f"{work}/store"
+        handler = docdedup_batch_handler(store)
+        for i in range(3):
+            handler(parts[i], i)
+        want = sorted(
+            tuple(r) for r in docdedup_rollup(spark, store).collect()
+        )
+        path = f"{store}/hashes"
+        # stash copies of the to-be-folded source dirs, fold, then
+        # restore them — exactly the state a crash between the
+        # generation rename and the source removal leaves behind
+        stash = f"{work}/stash"
+        os.makedirs(stash)
+        for b in (0, 1):
+            shutil.copytree(f"{path}/batch_id={b}", f"{stash}/batch_id={b}")
+        fold_batch_partitions(
+            spark, path, secondary="hash_bkt", n_tasks=8,
+        )
+        for b in (0, 1):
+            shutil.copytree(f"{stash}/batch_id={b}", f"{path}/batch_id={b}")
+        # un-healed, the folded rows exist twice
+        assert spark.read.parquet(path).count() > sum(
+            1 for _ in want
+        )
+        # any store access heals (docdedup_rollup calls heal_swapped_dir)
+        assert sorted(
+            tuple(r) for r in docdedup_rollup(spark, store).collect()
+        ) == want
+        batch_ids = sorted(
+            r["b"] for r in spark.read.parquet(path)
+            .selectExpr("CAST(batch_id AS LONG) AS b").distinct().collect()
+        )
+        assert batch_ids == [-1, 2]
