@@ -6,8 +6,11 @@ Usage (cluster):
         jobs/run_stream.py \\
         --input <transcript parquet dir (files appear over time)> \\
         --output <sink root> --checkpoint <streaming checkpoint root> \\
-        [--mode pipeline|wire|neardup|sessions|dedup|counters]
-        [--salts N] [--drain]
+        [--mode pipeline|wire|neardup|docdedup|ann-train|ann-ingest|
+                ann-neardup|sessions|dedup|counters|
+                {events,neardup,docdedup,ann}-compact]
+        [--salts N] [--centroids PATH] [--compact-mode incremental|full]
+        [--drain]
 
 Modes (all resume from --checkpoint; sessions/dedup/counters are
 watermarked, pipeline/wire/neardup are foreachBatch exactly-once):

