@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pii_scan": C.pii_scan_query,
         "corpus_vocab_top": C.vocab_top_query,
         "corpus_contamination": C.contamination_query,
+        "corpus_boilerplate": C.boilerplate_query,
         "corpus_retention": C.corpus_retention_query,
         "corpus_training_cut": C.corpus_training_cut_query,
         "multimodal_feature_extract": lambda spark, sf: _mm_features(spark, sf),
@@ -195,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pii_scan": C.pii_scan_oracle(),
         "corpus_vocab_top": C.vocab_top_oracle(),
         "corpus_contamination": C.contamination_oracle(),
+        "corpus_boilerplate": C.boilerplate_oracle(),
         "corpus_retention": C.corpus_retention_oracle(),
         "corpus_training_cut": C.corpus_training_cut_oracle(),
         "multimodal_feature_extract": _mm_oracle(),

@@ -46,6 +46,7 @@ DOC_OPS = (
     "corpus_pack_chunks",
     "corpus_mix_sample",
     "corpus_contamination",
+    "corpus_boilerplate",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_salted",
@@ -87,6 +88,7 @@ def registry(params=None):
         "corpus_pack_chunks": C.pack_chunks_query,
         "corpus_mix_sample": C.mix_sample_query,
         "corpus_contamination": C.contamination_query,
+        "corpus_boilerplate": C.boilerplate_query,
         "dedup_exact": C.exact_dedup_query,
         "dedup_minhash_lsh": C.minhash_lsh_query,
         "dedup_minhash_lsh_salted": C.minhash_lsh_salted_query,

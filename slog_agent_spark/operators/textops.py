@@ -743,3 +743,131 @@ def vocab_top_sql(
     ORDER BY n_occurrences DESC, token
     LIMIT {top_n}
     """
+
+
+# -- cross-document boilerplate span removal ----------------------------------
+# A shingle occurring in >= BOILERPLATE_MIN_DOCS distinct documents is
+# treated as corpus boilerplate (header/footer/license spans in web
+# corpora); every token covered by such a shingle is cut. CCNet does
+# this at paragraph granularity; the fixture corpus is single-line, so
+# the span unit here is the dedup family's 3-token shingle.
+BOILERPLATE_MIN_DOCS = 5
+BOILERPLATE_NGRAM = 3
+
+
+def boilerplate_post_sql(d: SqlDialect, rel: str = "documents") -> str:
+    """Positional shingle postings (doc_id, pos, shingle) — the
+    boilerplate pass's expensive explode, staged once and referenced by
+    both the frequency count and the hit join (plans/corpus.py
+    _staged_query; Catalyst re-executes a multi-referenced CTE per
+    reference).
+
+    Same token/shingle definition as dedup.shingles_expr so a shingle
+    flagged here is the same object MinHash sketches — one corpus-wide
+    shingle vocabulary across the dedup/contamination/boilerplate
+    family.
+
+    Scale shape: per-row explode, no shuffle; output rows ~ corpus
+    tokens.
+    """
+    n = BOILERPLATE_NGRAM
+    toks = tokens_expr(d, "text")
+    if d.name == d.SPARK:
+        gen = f"explode(sequence(1, greatest(size(t) - {n - 1}, 1)))"
+        sh = f"md5(array_join(slice(t, pos, {n}), ' '))"
+    else:
+        gen = f"unnest(generate_series(1, greatest(len(t) - {n - 1}, 1)))"
+        sh = f"md5(array_to_string(t[pos:pos + {n - 1}], ' '))"
+    return f"""
+    WITH toks AS (SELECT doc_id, {toks} AS t FROM {rel}),
+    positions AS (SELECT doc_id, t, {gen} AS pos FROM toks)
+    SELECT doc_id, CAST(pos AS INT) AS pos, {sh} AS shingle
+    FROM positions
+    """
+
+
+def boilerplate_sql(
+    d: SqlDialect,
+    rel: str = "documents",
+    min_docs: int = BOILERPLATE_MIN_DOCS,
+    post_rel: str | None = None,
+) -> str:
+    """Cross-document boilerplate removal: tokens covered by any shingle
+    present in ``min_docs``+ distinct documents are cut; one row per doc
+    with coverage counts and the md5 of the cleaned text (the rewrite is
+    asserted via hash — the result table stays narrow at corpus scale).
+
+    Scale shape: frequency groupBy(shingle) with map-side partial agg is
+    the one corpus-sized shuffle; the common-shingle set it yields is
+    TINY (151 of 16k shingles at sf0.01 — boilerplate vocabulary, not
+    corpus) so the hit join broadcasts; covered-position expansion is
+    per-doc array arithmetic (flatten/transform over hit starts), never
+    a second explode; final reassembly is one groupBy-free projection
+    joined doc-to-hits.
+
+    ``post_rel`` names the staged postings relation (Spark runner);
+    None composes the CTE inline (the DuckDB oracle form).
+    """
+    n = BOILERPLATE_NGRAM
+    prelude = ""
+    if post_rel is None:
+        prelude = f"bl_post AS ({boilerplate_post_sql(d, rel)}),"
+        post_rel = "bl_post"
+    toks = tokens_expr(d, "text")
+    if d.name == d.SPARK:
+        hits_agg = "collect_list(p.pos)"
+        n_toks = "size(t.t)"
+        cov = (
+            "array_distinct(flatten(transform(h.hits, "
+            f"x -> sequence(x, least(x + {n - 1}, size(t.t))))))"
+        )
+        clean = (
+            "array_join(filter(t, (x, i) -> "
+            "NOT array_contains(cov, i + 1)), ' ')"
+        )
+        full = "array_join(t, ' ')"
+    else:
+        hits_agg = "list(p.pos)"
+        n_toks = "len(t.t)"
+        cov = (
+            "list_distinct(flatten(list_transform(h.hits, "
+            f"x -> generate_series(x, least(x + {n - 1}, len(t.t))))))"
+        )
+        clean = (
+            "array_to_string([t[i] for i in generate_series(1, len(t)) "
+            "if NOT list_contains(cov, i)], ' ')"
+        )
+        full = "array_to_string(t, ' ')"
+    size_cov = "size(cov)" if d.name == d.SPARK else "len(cov)"
+    size_hits = "size(hits)" if d.name == d.SPARK else "len(hits)"
+    return f"""
+    WITH {prelude}
+    freq AS (
+      SELECT shingle FROM {post_rel}
+      GROUP BY shingle HAVING count(DISTINCT doc_id) >= {min_docs}
+    ),
+    hitpos AS (
+      SELECT p.doc_id, {hits_agg} AS hits
+      FROM {post_rel} p JOIN freq f ON p.shingle = f.shingle
+      GROUP BY p.doc_id
+    ),
+    joined AS (
+      SELECT t.doc_id, t.t, h.hits,
+             CASE WHEN h.hits IS NULL THEN NULL ELSE {cov} END AS cov
+      FROM (SELECT doc_id, {toks} AS t FROM {rel}) t
+      LEFT JOIN hitpos h ON t.doc_id = h.doc_id
+    )
+    SELECT doc_id,
+           CAST({n_toks.replace('t.t', 't')} AS INT) AS n_tokens,
+           CAST(CASE WHEN hits IS NULL THEN 0 ELSE {size_hits} END AS INT)
+             AS n_hit_shingles,
+           CAST(CASE WHEN cov IS NULL THEN 0 ELSE {size_cov} END AS INT)
+             AS n_covered_tokens,
+           round(CAST(CASE WHEN cov IS NULL THEN 0 ELSE {size_cov} END
+                      AS DOUBLE)
+                 / greatest({n_toks.replace('t.t', 't')}, 1), 6)
+             AS boilerplate_ratio,
+           {d.md5(f"CASE WHEN cov IS NULL THEN {full} ELSE {clean} END")}
+             AS clean_hash
+    FROM joined
+    """

@@ -193,6 +193,12 @@ pii_scan_query, pii_scan_oracle = _sql_query(
 vocab_top_query, vocab_top_oracle = _sql_query(
     textops.vocab_top_sql, ("documents",)
 )
+boilerplate_query, boilerplate_oracle = _staged_query(
+    [("bl_post", textops.boilerplate_post_sql)],
+    lambda d: textops.boilerplate_sql(d, post_rel="bl_post"),
+    textops.boilerplate_sql,
+    ("documents",),
+)
 contamination_query, contamination_oracle = _staged_query(
     [("ngram_sets", dedup.ngram_sets_sql)],
     lambda d: textops.contamination_sql(d, sets_rel="ngram_sets"),

@@ -21,6 +21,7 @@ PAIRS = [
      C.minhash_lsh_salted_oracle),
     ("simhash", C.simhash_query, C.simhash_oracle),
     ("ngram_jaccard", C.ngram_jaccard_query, C.ngram_jaccard_oracle),
+    ("boilerplate", C.boilerplate_query, C.boilerplate_oracle),
     ("ann_bruteforce", C.ann_bruteforce_query, C.ann_bruteforce_oracle),
     ("ann_ivf", C.ann_ivf_query, C.ann_ivf_oracle),
     ("emb_neardup", C.emb_neardup_query, C.emb_neardup_oracle),
@@ -104,6 +105,38 @@ def test_contamination_flags_eval_overlap(duck):
     assert 10 in got and got[10][1] == 0       # flagged against eval doc 0
     assert got[10][3] > 0.4                    # high shared-shingle ratio
     assert 11 not in got                       # clean doc untouched
+
+
+def test_boilerplate_cuts_cross_doc_spans(duck):
+    """A 3-token span shared by ``min_docs`` documents is cut from every
+    one of them (covered counts + clean_hash pin the rewrite); a doc
+    without the span is untouched and hashes to its own tokenized text
+    (DuckDB-executed — parity is pinned by the gate + test_parity)."""
+    import hashlib
+
+    from slog_agent_spark.functions.dialect import DUCKDB
+    from slog_agent_spark.operators.textops import boilerplate_sql
+
+    rows = [
+        (1, "alpha beta gamma delta common tail phrase"),
+        (2, "zeta eta theta common tail phrase iota"),
+        (3, "unique words only here nothing shared"),
+    ]
+    vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    sql = boilerplate_sql(
+        DUCKDB, rel=f"(VALUES {vals}) docs(doc_id, text)", min_docs=2
+    )
+    got = {r[0]: r for r in duckdb.connect().execute(sql).fetchall()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    # doc 1: "common tail phrase" starts at pos 5, covers tokens 5-7
+    assert got[1][1:4] == (7, 1, 3)
+    assert got[1][5] == md5("alpha beta gamma delta")
+    # doc 2: span starts at pos 4, covers 4-6; surrounding tokens survive
+    assert got[2][1:4] == (7, 1, 3)
+    assert got[2][5] == md5("zeta eta theta iota")
+    # doc 3: no shared span — untouched, ratio 0
+    assert got[3][1:4] == (6, 0, 0) and got[3][4] == 0.0
+    assert got[3][5] == md5(rows[2][1])
 
 
 def test_length_histogram_buckets_are_integer_exact(duck):

@@ -326,6 +326,23 @@ def main() -> None:
     check("contamination: reads materialized sets (no shingle recompute)",
           "ExistingRDD" in raw8c and "array_join" not in raw8c, "")
 
+    # 8d. boilerplate span removal: both the shingle-frequency count and
+    # the hit join read the MATERIALIZED postings (no per-reference
+    # re-explode of the corpus); joins are keyed, never cartesian
+    bl = C.boilerplate_query(spark, sf)
+    raw8d = plan_of(bl)
+    sections.append((
+        "cross-document boilerplate removal (`corpus_boilerplate`)",
+        "frequency count + hit join both read the staged postings "
+        "(ExistingRDD); covered-position expansion is per-row array "
+        "arithmetic — no second explode, no cartesian.",
+        formatted(bl),
+    ))
+    check("boilerplate: no cartesian/nested-loop",
+          "CartesianProduct" not in raw8d and "NestedLoop" not in raw8d, "")
+    check("boilerplate: reads materialized postings (no re-explode)",
+          "ExistingRDD" in raw8d and raw8d.count("Generate") <= 1, "")
+
     # 8a. lookup-enrich: the dimension join must broadcast (zero extra
     # shuffles beyond the rollup's own aggregate exchange)
     te = P.team_enrich_rollup_df(spark, sf)
