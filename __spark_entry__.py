@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab_top": C.vocab_top_query,
         "corpus_contamination": C.contamination_query,
         "corpus_boilerplate": C.boilerplate_query,
+        "events_asof_enrich": C.asof_enrich_query,
+        "events_window_attrib": C.window_attrib_query,
         "corpus_retention": C.corpus_retention_query,
         "corpus_training_cut": C.corpus_training_cut_query,
         "multimodal_feature_extract": lambda spark, sf: _mm_features(spark, sf),
@@ -197,6 +199,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_vocab_top": C.vocab_top_oracle(),
         "corpus_contamination": C.contamination_oracle(),
         "corpus_boilerplate": C.boilerplate_oracle(),
+        "events_asof_enrich": C.asof_enrich_oracle(),
+        "events_window_attrib": C.window_attrib_oracle(),
         "corpus_retention": C.corpus_retention_oracle(),
         "corpus_training_cut": C.corpus_training_cut_oracle(),
         "multimodal_feature_extract": _mm_oracle(),

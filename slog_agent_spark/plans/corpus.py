@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.dialect import DUCKDB, SPARK
-from ..operators import dedup, similarity, textops
+from ..operators import dedup, eventops, similarity, textops
 
 
 def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
@@ -192,6 +192,12 @@ pii_scan_query, pii_scan_oracle = _sql_query(
 )
 vocab_top_query, vocab_top_oracle = _sql_query(
     textops.vocab_top_sql, ("documents",)
+)
+asof_enrich_query, asof_enrich_oracle = _sql_query(
+    eventops.asof_enrich_sql, ("events",)
+)
+window_attrib_query, window_attrib_oracle = _sql_query(
+    eventops.window_attrib_sql, ("events",)
 )
 boilerplate_query, boilerplate_oracle = _staged_query(
     [("bl_post", textops.boilerplate_post_sql)],

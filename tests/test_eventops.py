@@ -1,0 +1,122 @@
+"""As-of enrich + bounded-window attribution: tie rules, LEFT
+semantics, and the bucket decomposition's exactness vs a naive
+inequality join."""
+
+from __future__ import annotations
+
+import duckdb
+from conftest import SF_DIR, assert_df_equals_oracle
+
+from slog_agent_spark.functions.dialect import DUCKDB, SPARK
+from slog_agent_spark.operators.eventops import asof_enrich_sql, window_attrib_sql
+from slog_agent_spark.plans import corpus as C
+
+US = 1_000_000
+
+
+def _events_values(rows):
+    """rows: (event_id, epoch_sec, user_id, event_type, value)."""
+    vals = ", ".join(
+        f"({eid}, to_timestamp({ts}), {uid}, '{et}', CAST({v} AS DOUBLE))"
+        for eid, ts, uid, et, v in rows
+    )
+    return f"(VALUES {vals}) ev(event_id, ts, user_id, event_type, value)"
+
+
+ASOF_FIXTURE = [
+    # user 1: marks at t=10 (two, same ts) and t=20; probes at 10, 15, 25
+    (100, 10, 1, "view", 1.0),
+    (101, 10, 1, "view", 2.0),       # same ts, higher event_id wins
+    (102, 20, 1, "view", 3.0),
+    (200, 10, 1, "purchase", 9.0),   # inclusive: mark at same ts matches
+    (201, 15, 1, "purchase", 9.0),
+    (202, 25, 1, "purchase", 9.0),
+    # user 2: probe before any mark -> NULL mark columns (LEFT)
+    (300, 5, 2, "purchase", 9.0),
+    (301, 30, 2, "view", 4.0),
+]
+
+
+def test_asof_tie_rules_and_left_semantics(spark, duck):
+    """Inclusive at-equal-ts, max-event_id on duplicate-ts marks,
+    NULL mark columns when no prior mark — identical rows from the
+    Spark union+window plan and the DuckDB ASOF LEFT JOIN oracle."""
+    rel = _events_values(ASOF_FIXTURE)
+    got = {
+        r[0]: r
+        for r in duckdb.connect()
+        .execute(asof_enrich_sql(DUCKDB, rel=rel))
+        .fetchall()
+    }
+    # probe at t=10: the t=10 mark matches (inclusive), event_id 101 wins
+    assert got[200][4] == 101 and got[200][6] == 2.0 and got[200][7] == 0
+    # probe at t=15: still the t=10 pair
+    assert got[201][4] == 101 and got[201][7] == 5 * US
+    # probe at t=25: the t=20 mark
+    assert got[202][4] == 102 and got[202][6] == 3.0
+    # user 2's probe precedes every mark: LEFT semantics
+    assert got[300][4] is None and got[300][5] is None and got[300][7] is None
+
+    # Spark side produces the same relation on the same fixture
+    sdf = spark.createDataFrame(
+        [(e, float(t), u, et, v) for e, t, u, et, v in ASOF_FIXTURE],
+        "event_id long, epoch double, user_id long, event_type string, value double",
+    ).selectExpr("event_id", "CAST(to_timestamp(epoch) AS TIMESTAMP) ts",
+                 "user_id", "event_type", "value")
+    sdf.createOrReplaceTempView("asof_fixture")
+    srows = {
+        r[0]: tuple(r)
+        for r in spark.sql(
+            asof_enrich_sql(SPARK, rel="asof_fixture")
+        ).collect()
+    }
+    assert srows == got
+
+
+def test_asof_gate_parity_on_fixture(spark, duck):
+    assert_df_equals_oracle(
+        C.asof_enrich_query(spark, SF_DIR), duck, C.asof_enrich_oracle()
+    )
+
+
+def test_window_attrib_matches_naive_range_join(duck):
+    """The bucketed decomposition returns EXACTLY the naive inequality
+    join's pairs on the sf0.01 fixture (boundary rows included)."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'"
+    )
+    h = 6 * 3600
+    naive = con.execute(f"""
+        SELECT p.event_id, m.event_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'view') m
+          ON p.user_id = m.user_id AND m.ts <= p.ts
+         AND epoch_us(p.ts) - epoch_us(m.ts) < {h * 1_000_000}
+        ORDER BY 1, 2
+    """).fetchall()
+    bucketed = con.execute(
+        f"SELECT probe_event_id, mark_event_id FROM ("
+        f"{window_attrib_sql(DUCKDB, horizon_sec=h)}) ORDER BY 1, 2"
+    ).fetchall()
+    assert naive == bucketed and len(bucketed) > 0
+
+
+def test_window_attrib_horizon_boundaries(duck):
+    """age = 0 is attributed; age exactly = horizon is not; a mark
+    after the probe is never attributed."""
+    h = 100
+    rows = [
+        (1, 1000, 1, "view", 1.0),      # age 0 vs probe@1000 -> in
+        (2, 900, 1, "view", 2.0),       # age exactly h -> out
+        (3, 901, 1, "view", 3.0),       # age h-1 -> in
+        (4, 1001, 1, "view", 4.0),      # after the probe -> out
+        (9, 1000, 1, "purchase", 9.0),
+    ]
+    got = duckdb.connect().execute(
+        window_attrib_sql(
+            DUCKDB, rel=_events_values(rows), horizon_sec=h
+        )
+    ).fetchall()
+    marks = sorted(r[1] for r in got)
+    assert marks == [1, 3]

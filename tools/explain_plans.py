@@ -343,6 +343,40 @@ def main() -> None:
     check("boilerplate: reads materialized postings (no re-explode)",
           "ExistingRDD" in raw8d and raw8d.count("Generate") <= 1, "")
 
+    # 8e. as-of enrich: the union+window formulation must contain NO
+    # join operator at all — one shuffle on user_id feeds the window
+    ae = C.asof_enrich_query(spark, sf)
+    raw8e = plan_of(ae)
+    sections.append((
+        "as-of enrich (`events_asof_enrich`)",
+        "union(marks, probes) + one window carrying the last non-null "
+        "mark: no join operator, exactly one shuffle on user_id — the "
+        "as-of plan that survives skew and 100x scale (a range join "
+        "would explode; a per-probe lookup would shuffle per row).",
+        formatted(ae),
+    ))
+    check("asof: no join operator at all",
+          "Join" not in raw8e, "")
+    n_ex8e = len(re.findall(r"Exchange hashpartitioning", raw8e))
+    check("asof: exactly one shuffle (the user_id window)",
+          n_ex8e == 1, f"{n_ex8e} exchanges")
+
+    # 8f. bounded-window attribution: bucket equi-join (never an
+    # unbounded inequality join / cartesian)
+    wa = C.window_attrib_query(spark, sf)
+    raw8f = plan_of(wa)
+    sections.append((
+        "bounded-window attribution (`events_window_attrib`)",
+        "both sides bucketed by floor(epoch/horizon); each probe "
+        "equi-joins its own + previous bucket and filters exactly — "
+        "join fan-in is 2 buckets per probe at any corpus size.",
+        formatted(wa),
+    ))
+    check("window-attrib: no cartesian/nested-loop",
+          "Cartesian" not in raw8f and "NestedLoop" not in raw8f, "")
+    check("window-attrib: equi-join on (user, bucket)",
+          "join_bucket" in raw8f and "Join" in raw8f, "")
+
     # 8a. lookup-enrich: the dimension join must broadcast (zero extra
     # shuffles beyond the rollup's own aggregate exchange)
     te = P.team_enrich_rollup_df(spark, sf)
