@@ -6,9 +6,9 @@ Usage (cluster):
         jobs/run_stream.py \\
         --input <transcript parquet dir (files appear over time)> \\
         --output <sink root> --checkpoint <streaming checkpoint root> \\
-        [--mode pipeline|wire|neardup|docdedup|ann-train|ann-ingest|
-                ann-neardup|sessions|dedup|counters|
-                {events,neardup,docdedup,ann}-compact]
+        [--mode pipeline|wire|neardup|docdedup|trainingcut|ann-train|
+                ann-ingest|ann-neardup|sessions|dedup|counters|
+                {events,neardup,docdedup,ann,trainingcut}-compact]
         [--salts N] [--centroids PATH] [--compact-mode incremental|full]
         [--drain]
 
@@ -56,6 +56,16 @@ watermarked, pipeline/wire/neardup are foreachBatch exactly-once):
                the batch dedup_exact under any arrival order)
     docdedup-compact  fold the hash store's committed per-batch
                partitions (run between drains; --output = the store)
+    trainingcut  incremental training cut over a DOCUMENT stream
+               (doc_id, text, lang): per batch, exact dedup + MinHash
+               near-dup against the accumulated stores + quality gate +
+               deterministic mix draw + packed-position assignment
+               (running token offset via a tiny totals table); per-doc
+               verdicts under <store>/cut, value-identical to the batch
+               corpus_training_cut when batches arrive in ascending
+               doc_id ranges (first-arrival-wins otherwise)
+    trainingcut-compact  fold cut/totals plus the delegated dedup and
+               near-dup stores (run between drains; --output = store)
     dedup      at-least-once redelivery guard
                (dropDuplicatesWithinWatermark on conv_id/turn_idx)
     counters   event-time windowed per-role counters
@@ -80,7 +90,8 @@ def main(argv: list[str]) -> int:
                     choices=["pipeline", "wire", "neardup", "neardup-compact",
                              "events-compact", "ann-train", "ann-ingest",
                              "ann-neardup", "ann-compact", "docdedup",
-                             "docdedup-compact", "sessions", "dedup",
+                             "docdedup-compact", "trainingcut",
+                             "trainingcut-compact", "sessions", "dedup",
                              "counters"])
     ap.add_argument("--salts", type=int, default=1,
                     help="wire mode: sub-chunkers per hot tag")
@@ -156,8 +167,13 @@ def main(argv: list[str]) -> int:
                     args.centroids, neardup=(args.mode == "ann-neardup"),
                 )
             return 0
+        if args.mode == "trainingcut":
+            S.run_stream_training_cut(
+                spark, args.input, args.output, args.checkpoint
+            )
+            return 0
         if args.mode in ("neardup-compact", "events-compact", "ann-compact",
-                         "docdedup-compact"):
+                         "docdedup-compact", "trainingcut-compact"):
             # between drains (never concurrently with the stream): fold
             # committed per-batch store partitions into the bounded base
             if args.mode == "ann-compact":
@@ -169,6 +185,7 @@ def main(argv: list[str]) -> int:
                     "neardup-compact": S.compact_neardup_store,
                     "events-compact": S.compact_events_sink,
                     "docdedup-compact": S.compact_docdedup_store,
+                    "trainingcut-compact": S.compact_training_cut_store,
                 }[args.mode]
             report = compact(spark, args.output, mode=args.compact_mode)
             for table, r in report.items():

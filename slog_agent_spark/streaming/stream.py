@@ -844,3 +844,275 @@ def wire_batch_handler(
         )
 
     return handle_batch
+
+
+# -- streaming training cut: dedup + near-dup + quality + mix + pack ----------
+DOCUMENT_MIX_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+TRAINING_CUT_DOC_BUCKETS = 64
+
+
+def stream_documents_mix(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Document stream carrying ``lang`` (the mix-sampling stratum)."""
+    return (
+        spark.readStream.schema(DOCUMENT_MIX_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+
+def training_cut_batch_handler(
+    store_dir: str, params=None, stats: list | None = None,
+):
+    """foreachBatch handler for the INCREMENTAL training cut — the
+    streaming twin of the batch ``corpus_training_cut`` composite
+    (dedup.training_cut_sql): per micro-batch, decide for every arriving
+    document whether it survives exact dedup, near-dup removal, the
+    quality gate and the deterministic mix draw, and assign survivors
+    their position in the packed token stream.
+
+    Composition, not reimplementation: the batch delegates to the
+    existing incremental stores — ``docdedup_batch_handler`` (exact,
+    first-arrival-wins) and ``neardup_batch_handler`` (MinHash-LSH
+    vs store + within batch) — then reads back ONLY its own batch_id
+    partitions of their outputs (partition-pruned, bounded by the
+    batch). Quality and mix are the SAME per-row SQL the batch operator
+    runs (textops.quality_items / mix_sample_sql). Packing uses the
+    same bucketed prefix sum (textops.pack_ctes) over the batch's
+    selected docs, offset by the running selected-token total carried
+    in a tiny ``totals`` table (one row per batch — the only
+    cross-batch pack state; its read is O(#batches), folded by
+    compaction).
+
+    Streaming policy vs the batch operator (tested equivalence): when
+    micro-batches arrive in ascending doc_id ranges, the drained cut
+    table is VALUE-IDENTICAL to ``corpus_training_cut`` over the union
+    — first-arrival == min-doc_id for exact groups, the pair's later
+    side == greater doc_id for near-dups, and the pack offsets compose.
+    Under out-of-order arrival the streaming answer is the
+    first-arrival-wins policy (decisions are final at batch time; a
+    later-arriving smaller doc_id loses to an already-kept duplicate),
+    which is the only policy a stream can implement without
+    retracting output.
+
+    Exactly-once: ``cut`` and ``totals`` are batch_id-partitioned with
+    dynamic overwrite; the totals read excludes the current batch_id;
+    the delegated stores are replay-safe by construction.
+    """
+    from ..functions.dialect import SPARK as SPARK_D
+    from ..operators import textops
+    from ..plans.corpus_config import DEFAULT_CORPUS_PARAMS
+    from ..sinks.writers import write_table
+
+    params = params or DEFAULT_CORPUS_PARAMS
+    dedup_handle = docdedup_batch_handler(f"{store_dir}/dedup")
+    nd_handle = neardup_batch_handler(f"{store_dir}/nd", params=params)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch_df.sparkSession
+        docs = batch_df
+        if "lang" not in docs.columns:
+            docs = docs.withColumn("lang", F.lit(None).cast("string"))
+        docs = docs.select("doc_id", "text", "lang").localCheckpoint()
+
+        dedup_handle(docs.select("doc_id", "text"), batch_id)
+        nd_handle(docs.select("doc_id", "text"), batch_id)
+
+        # read back ONLY this batch's partitions of the delegated stores
+        hashes = (
+            spark.read.parquet(f"{store_dir}/dedup/hashes")
+            .where(F.col("batch_id").cast("long") == batch_id)
+            .select("content_hash", "keep_doc_id", "is_first")
+        )
+        pairs = (
+            spark.read.parquet(f"{store_dir}/nd/pairs")
+            .where(F.col("batch_id").cast("long") == batch_id)
+            .select("doc_a", "doc_b")
+        )
+        docs.createOrReplaceTempView("tc_batch_docs")
+        hashes.createOrReplaceTempView("tc_batch_hashes")
+        pairs.createOrReplaceTempView("tc_batch_pairs")
+        docs.select("doc_id").createOrReplaceTempView("tc_batch_ids")
+
+        # running selected-token total from prior batches (tiny table)
+        totals_path = f"{store_dir}/totals"
+        _heal_swapped_dir(totals_path)
+        try:
+            prior = (
+                spark.read.parquet(totals_path)
+                .where(F.col("batch_id").cast("long") != batch_id)
+                .agg(F.coalesce(F.sum("selected_tokens"), F.lit(0)))
+                .first()[0]
+            )
+        except AnalysisException:
+            prior = 0
+
+        q = textops.quality_items(SPARK_D)
+        t = textops.token_count_items(SPARK_D)
+        budget = params.pack_budget_tokens
+        bucket = params.pack_bucket_docs
+        div = SPARK_D.int_div
+        cut = spark.sql(f"""
+        WITH q AS (
+          SELECT doc_id, {t['n_tokens']} AS n_tokens,
+                 {q['distinct_ratio']} AS distinct_ratio,
+                 {q['stopword_ratio']} AS stopword_ratio,
+                 md5(text) AS content_hash
+          FROM tc_batch_docs
+        ),
+        -- the pair side that must be cut is the side arriving IN this
+        -- batch (pairs are emitted in the later doc's batch); when both
+        -- sides share the batch, the greater doc_id loses — the batch
+        -- operator's rule
+        nr AS (
+          SELECT DISTINCT CASE
+                   WHEN a_in AND b_in THEN doc_b
+                   WHEN a_in THEN doc_a
+                   ELSE doc_b END AS doc_id
+          FROM (
+            SELECT p.doc_a, p.doc_b,
+                   ba.doc_id IS NOT NULL AS a_in,
+                   bb.doc_id IS NOT NULL AS b_in
+            FROM tc_batch_pairs p
+            LEFT JOIN tc_batch_ids ba ON ba.doc_id = p.doc_a
+            LEFT JOIN tc_batch_ids bb ON bb.doc_id = p.doc_b
+          )
+        ),
+        mix AS ({textops.mix_sample_sql(SPARK_D, "tc_batch_docs", params)}),
+        ret AS (
+          SELECT q.doc_id,
+                 (h.is_first AND q.doc_id = h.keep_doc_id
+                  AND n.doc_id IS NULL
+                  AND q.n_tokens >= {params.retention_min_tokens}
+                  AND q.distinct_ratio >= {params.retention_min_distinct}
+                  AND q.stopword_ratio <= {params.retention_max_stopword})
+                   AS retained,
+                 m.kept AS mix_kept
+          FROM q
+          JOIN tc_batch_hashes h ON h.content_hash = q.content_hash
+          LEFT JOIN nr n ON n.doc_id = q.doc_id
+          JOIN mix m ON m.doc_id = q.doc_id
+        ),
+        sel AS (
+          SELECT d.doc_id, d.text
+          FROM tc_batch_docs d
+          JOIN ret r ON r.doc_id = d.doc_id AND r.retained AND r.mix_kept
+        ),
+        {textops.pack_ctes(SPARK_D, "sel", budget, bucket)},
+        pk AS (
+          SELECT doc_id, n_tokens,
+                 start_tok + CAST({prior} AS BIGINT) AS start_tok
+          FROM packed
+        )
+        SELECT r.doc_id, r.retained, r.mix_kept,
+               (r.retained AND r.mix_kept) AS selected,
+               coalesce(p.n_tokens, -1) AS n_tokens,
+               coalesce(CAST({div('p.start_tok', str(budget))} AS BIGINT),
+                        -1) AS chunk_id,
+               coalesce(CAST(p.start_tok % {budget} AS BIGINT), -1)
+                 AS chunk_offset
+        FROM ret r LEFT JOIN pk p ON p.doc_id = r.doc_id
+        """).localCheckpoint()
+
+        batch_tokens = (
+            cut.where("selected")
+            .agg(F.coalesce(F.sum("n_tokens"), F.lit(0)))
+            .first()[0]
+        )
+        write_table(
+            cut.withColumn(
+                "doc_bkt", _doc_bucket(TRAINING_CUT_DOC_BUCKETS)
+            )
+            .repartition(F.col("doc_bkt"))
+            .withColumn("batch_id", F.lit(batch_id)),
+            f"{store_dir}/cut",
+            partition_by=["batch_id", "doc_bkt"],
+            mode="overwrite_partitions",
+        )
+        write_table(
+            spark.createDataFrame(
+                [(int(batch_tokens),)], "selected_tokens BIGINT"
+            ).withColumn("batch_id", F.lit(batch_id)),
+            totals_path,
+            partition_by=["batch_id"],
+            mode="overwrite_partitions",
+        )
+        if stats is not None:
+            stats.append({
+                "batch_id": batch_id,
+                "n_docs": docs.count(),
+                "n_selected": int(cut.where("selected").count()),
+                "prior_tokens": int(prior),
+                "batch_tokens": int(batch_tokens),
+            })
+
+    return handle
+
+
+def training_cut_rollup(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The drained per-document cut table (one row per streamed doc):
+    doc_id, retained, mix_kept, selected, n_tokens, chunk_id,
+    chunk_offset — column-identical to the batch
+    ``corpus_training_cut`` result, and value-identical when the
+    stream drained in ascending doc_id ranges (see handler docstring)."""
+    path = f"{store_dir}/cut"
+    _store.heal_swapped_dir(path)
+    return spark.read.parquet(path).select(
+        "doc_id", "retained", "mix_kept", "selected",
+        "n_tokens", "chunk_id", "chunk_offset",
+    )
+
+
+def compact_training_cut_store(
+    spark: SparkSession, store_dir: str, mode: str = "incremental",
+) -> dict:
+    """Fold the cut/totals tables plus the delegated dedup and near-dup
+    stores — one call bounds every table this handler grows."""
+    report = {}
+    r = _store.fold_batch_partitions(
+        spark, f"{store_dir}/cut",
+        secondary="doc_bkt", n_tasks=TRAINING_CUT_DOC_BUCKETS,
+        sort_keys=["doc_id"], mode=mode,
+    )
+    if r is not None:
+        report["cut"] = r
+    r = _store.fold_batch_partitions(spark, f"{store_dir}/totals", mode=mode)
+    if r is not None:
+        report["totals"] = r
+    for name, rep in compact_docdedup_store(
+        spark, f"{store_dir}/dedup", mode=mode
+    ).items():
+        report[f"dedup_{name}"] = rep
+    for name, rep in compact_neardup_store(
+        spark, f"{store_dir}/nd", mode=mode
+    ).items():
+        report[f"nd_{name}"] = rep
+    return report
+
+
+def run_stream_training_cut(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    params=None,
+) -> None:
+    """Drain a document stream (doc_id, text, lang) through the
+    incremental training cut (availableNow trigger)."""
+    q = (
+        stream_documents_mix(spark, input_dir)
+        .writeStream.foreachBatch(
+            training_cut_batch_handler(store_dir, params=params)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

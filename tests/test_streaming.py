@@ -751,3 +751,83 @@ def test_incremental_fold_crash_heal(spark, sf_dir):
             .selectExpr("CAST(batch_id AS LONG) AS b").distinct().collect()
         )
         assert batch_ids == [-1, 2]
+
+
+def test_streaming_training_cut_equals_batch_in_order(spark, sf_dir):
+    """Draining the corpus in ascending doc_id ranges, the streamed cut
+    table is value-identical to the batch corpus_training_cut composite
+    (first-arrival == min-doc_id; the pair's later side == greater
+    doc_id; pack offsets compose through the totals table) — and stays
+    identical after compacting every store the handler grows."""
+    from slog_agent_spark.plans import corpus as C
+    from slog_agent_spark.streaming.stream import (
+        compact_training_cut_store,
+        training_cut_batch_handler,
+        training_cut_rollup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    splits = [
+        docs.where("doc_id < 80"),
+        docs.where("doc_id >= 80 AND doc_id < 160"),
+        docs.where("doc_id >= 160"),
+    ]
+    cols = ["doc_id", "retained", "mix_kept", "selected",
+            "n_tokens", "chunk_id", "chunk_offset"]
+    with tempfile.TemporaryDirectory() as work:
+        handler = training_cut_batch_handler(f"{work}/store")
+        for i, part in enumerate(splits):
+            handler(part, i)
+        got = sorted(
+            tuple(r[c] for c in cols)
+            for r in training_cut_rollup(spark, f"{work}/store").collect()
+        )
+        want = sorted(
+            tuple(r[c] for c in cols)
+            for r in C.corpus_training_cut_query(spark, sf_dir).collect()
+        )
+        assert got == want and len(got) == docs.count()
+        assert any(r[3] for r in got)        # some docs selected
+        assert any(not r[1] for r in got)    # some docs cut
+        rep = compact_training_cut_store(spark, f"{work}/store")
+        assert "cut" in rep and "totals" in rep
+        after = sorted(
+            tuple(r[c] for c in cols)
+            for r in training_cut_rollup(spark, f"{work}/store").collect()
+        )
+        assert after == got
+
+
+def test_streaming_training_cut_replay_no_duplicates(spark, sf_dir):
+    """Replaying the last micro-batch rewrites exactly its own cut and
+    totals partitions: per-doc rows and the running token total are
+    unchanged (the totals read excludes the replaying batch itself)."""
+    from slog_agent_spark.streaming.stream import (
+        training_cut_batch_handler,
+        training_cut_rollup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    first = docs.where("doc_id < 150")
+    second = docs.where("doc_id >= 150")
+    with tempfile.TemporaryDirectory() as work:
+        handler = training_cut_batch_handler(f"{work}/store")
+        handler(first, 0)
+        handler(second, 1)
+        before = sorted(
+            map(tuple, training_cut_rollup(spark, f"{work}/store").collect())
+        )
+        totals_before = sorted(
+            map(tuple, spark.read.parquet(f"{work}/store/totals").collect())
+        )
+        handler(second, 1)  # the replay
+        assert sorted(
+            map(tuple, training_cut_rollup(spark, f"{work}/store").collect())
+        ) == before
+        assert sorted(
+            map(tuple, spark.read.parquet(f"{work}/store/totals").collect())
+        ) == totals_before
