@@ -216,6 +216,10 @@ def run_bench(sf_dir: str, cpus: int, explode: int) -> dict:
                 ("doc_length_histogram", CQ.doc_length_histogram_query),
                 ("doc_length_quantiles", CQ.doc_length_quantiles_query),
                 ("dedup_groups_cc", CQ.dedup_groups_query),
+                ("corpus_boilerplate", CQ.boilerplate_query),
+                ("corpus_training_cut", CQ.corpus_training_cut_query),
+                ("events_asof_enrich", CQ.asof_enrich_query),
+                ("events_window_attrib", CQ.window_attrib_query),
             ):
                 best = None
                 for _ in range(max(corpus_repeats, 1)):
