@@ -833,9 +833,12 @@ def boilerplate_sql(
             "list_distinct(flatten(list_transform(h.hits, "
             f"x -> generate_series(x, least(x + {n - 1}, len(t.t))))))"
         )
+        # coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+        # array_join(empty) is '' (a fully-covered doc must hash '')
         clean = (
-            "array_to_string([t[i] for i in generate_series(1, len(t)) "
-            "if NOT list_contains(cov, i)], ' ')"
+            "coalesce(array_to_string([t[i] for i in "
+            "generate_series(1, len(t)) if NOT list_contains(cov, i)], "
+            "' '), '')"
         )
         full = "array_to_string(t, ' ')"
     size_cov = "size(cov)" if d.name == d.SPARK else "len(cov)"
