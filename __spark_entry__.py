@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_boilerplate": C.boilerplate_query,
         "events_asof_enrich": C.asof_enrich_query,
         "events_window_attrib": C.window_attrib_query,
+        "events_asof_segmented": C.asof_segmented_query,
         "corpus_retention": C.corpus_retention_query,
         "corpus_training_cut": C.corpus_training_cut_query,
         "multimodal_feature_extract": lambda spark, sf: _mm_features(spark, sf),
@@ -201,6 +202,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_boilerplate": C.boilerplate_oracle(),
         "events_asof_enrich": C.asof_enrich_oracle(),
         "events_window_attrib": C.window_attrib_oracle(),
+        "events_asof_segmented": C.asof_segmented_oracle(),
         "corpus_retention": C.corpus_retention_oracle(),
         "corpus_training_cut": C.corpus_training_cut_oracle(),
         "multimodal_feature_extract": _mm_oracle(),

@@ -155,3 +155,94 @@ def window_attrib_sql(
     WHERE m.ts <= p.ts
       AND {probe_epoch} - {mark_epoch} < {h_us}
     """
+
+
+ASOF_BLOCK_SEC = 6 * 3600
+
+
+def asof_enrich_segmented_sql(
+    d: SqlDialect,
+    rel: str = "events",
+    mark_type: str = ASOF_MARK_TYPE,
+    probe_type: str = ASOF_PROBE_TYPE,
+    block_sec: int = ASOF_BLOCK_SEC,
+) -> str:
+    """Skew-proof as-of enrich: SAME relation as :func:`asof_enrich_sql`
+    (the gate pins equality against the same ASOF JOIN oracle), but the
+    per-user window is SEGMENTED by time block so a hot user never
+    serializes into one task — the plain formulation partitions by
+    user_id alone, and at 100 TB one 10^9-row user becomes one straggler
+    task.
+
+    Three stages, the distributed-prefix-sum shape (textops.pack_ctes'
+    trick applied to time): (1) the carry window runs within (user,
+    block) — bounded by the block's rows, hot users split across
+    blocks; (2) per-(user, block) LAST-MARK summaries feed a window
+    over the TINY block relation (#blocks per user rows, e.g. 720 for
+    a month of 1h blocks) computing each block's carry-in; (3) a probe
+    takes its within-block carry, falling back to its block's carry-in.
+    Tie rules identical to the plain form (inclusive at equal ts,
+    greatest event_id on duplicate-ts marks — the block summary's
+    max_by orders by (ts, event_id)).
+
+    The DuckDB oracle is the plain :func:`asof_enrich_sql` oracle —
+    segmentation is placement-only, like the salted LSH join.
+    """
+    if d.name == d.DUCKDB:
+        return asof_enrich_sql(d, rel, mark_type, probe_type)
+    block_us = block_sec * 1_000_000
+    blk = d.int_div(d.unix_micros("ts"), str(block_us))
+    return f"""
+    WITH unioned AS (
+      SELECT user_id, ts, {blk} AS block, 0 AS side,
+             event_id AS mark_event_id, ts AS mark_ts, value AS mark_value,
+             CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS DOUBLE) AS value
+      FROM {rel} WHERE event_type = '{mark_type}'
+      UNION ALL
+      SELECT user_id, ts, {blk} AS block, 1 AS side, CAST(NULL AS BIGINT),
+             CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE), event_id, value
+      FROM {rel} WHERE event_type = '{probe_type}'
+    ),
+    carried AS (
+      SELECT user_id, ts, block, side, event_id, value,
+             last(mark_event_id, true) OVER w AS mark_event_id,
+             last(mark_ts, true) OVER w AS mark_ts,
+             last(mark_value, true) OVER w AS mark_value
+      FROM unioned
+      WINDOW w AS (
+        PARTITION BY user_id, block
+        ORDER BY ts, side, mark_event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      )
+    ),
+    blocks AS (SELECT DISTINCT user_id, block FROM unioned),
+    bsum AS (
+      SELECT user_id, block,
+             max_by(
+               named_struct('eid', mark_event_id, 'mts', mark_ts,
+                            'mval', mark_value),
+               named_struct('ts', ts, 'eid', mark_event_id)
+             ) AS last_mark
+      FROM unioned WHERE side = 0
+      GROUP BY user_id, block
+    ),
+    bcarry AS (
+      SELECT b.user_id, b.block,
+             last(s.last_mark, true) OVER (
+               PARTITION BY b.user_id ORDER BY b.block
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS carry
+      FROM blocks b
+      LEFT JOIN bsum s ON s.user_id = b.user_id AND s.block = b.block
+    )
+    SELECT p.event_id, p.user_id, {d.unix_micros('p.ts')} AS ts_us, p.value,
+           coalesce(p.mark_event_id, c.carry.eid) AS mark_event_id,
+           {d.unix_micros("coalesce(p.mark_ts, c.carry.mts)")} AS mark_ts_us,
+           coalesce(p.mark_value, c.carry.mval) AS mark_value,
+           {d.unix_micros('p.ts')}
+             - {d.unix_micros("coalesce(p.mark_ts, c.carry.mts)")}
+             AS staleness_us
+    FROM carried p
+    JOIN bcarry c ON c.user_id = p.user_id AND c.block = p.block
+    WHERE p.side = 1
+    """

@@ -199,6 +199,11 @@ asof_enrich_query, asof_enrich_oracle = _sql_query(
 window_attrib_query, window_attrib_oracle = _sql_query(
     eventops.window_attrib_sql, ("events",)
 )
+# segmentation is placement-only: the oracle is the PLAIN as-of oracle,
+# so the gate proves the segmented plan computes the same relation
+asof_segmented_query, asof_segmented_oracle = _sql_query(
+    eventops.asof_enrich_segmented_sql, ("events",)
+)
 boilerplate_query, boilerplate_oracle = _staged_query(
     [("bl_post", textops.boilerplate_post_sql)],
     lambda d: textops.boilerplate_sql(d, post_rel="bl_post"),

@@ -120,3 +120,36 @@ def test_window_attrib_horizon_boundaries(duck):
     ).fetchall()
     marks = sorted(r[1] for r in got)
     assert marks == [1, 3]
+
+
+def test_asof_segmented_equals_plain(spark, duck):
+    """Segmentation is placement-only: tiny 2-second blocks force marks
+    and probes into DIFFERENT blocks (carry-in path) and same blocks
+    (within-block path) on the hand fixture, and the result equals the
+    plain form row for row. Gate parity vs the ASOF JOIN oracle is
+    pinned on the sf fixture below."""
+    from slog_agent_spark.operators.eventops import asof_enrich_segmented_sql
+
+    sdf = spark.createDataFrame(
+        [(e, float(t), u, et, v) for e, t, u, et, v in ASOF_FIXTURE],
+        "event_id long, epoch double, user_id long, event_type string, value double",
+    ).selectExpr("event_id", "CAST(to_timestamp(epoch) AS TIMESTAMP) ts",
+                 "user_id", "event_type", "value")
+    sdf.createOrReplaceTempView("asof_seg_fixture")
+    plain = sorted(map(tuple, spark.sql(
+        asof_enrich_sql(SPARK, rel="asof_seg_fixture")
+    ).collect()))
+    for block_sec in (2, 7, 1000):
+        seg = sorted(map(tuple, spark.sql(
+            asof_enrich_segmented_sql(
+                SPARK, rel="asof_seg_fixture", block_sec=block_sec
+            )
+        ).collect()))
+        assert seg == plain, f"block_sec={block_sec}"
+
+
+def test_asof_segmented_gate_parity_on_fixture(spark, duck):
+    assert_df_equals_oracle(
+        C.asof_segmented_query(spark, SF_DIR), duck,
+        C.asof_segmented_oracle(),
+    )

@@ -361,6 +361,28 @@ def main() -> None:
     check("asof: exactly one shuffle (the user_id window)",
           n_ex8e == 1, f"{n_ex8e} exchanges")
 
+    # 8e2. segmented as-of: the carry window must be keyed by (user,
+    # block) — never user alone (a hot user would serialize into one
+    # task); the cross-block carry runs over the tiny block relation
+    aes = C.asof_segmented_query(spark, sf)
+    raw8e2 = plan_of(aes)
+    sections.append((
+        "segmented as-of enrich (`events_asof_segmented`)",
+        "the distributed-prefix-sum shape applied to time: within-"
+        "(user, block) carry window + per-block last-mark summaries + "
+        "a carry-in window over the tiny block relation — a 10^9-row "
+        "hot user splits across blocks instead of one straggler task.",
+        formatted(aes),
+    ))
+    import re as _re
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", raw8e2)
+    check("asof-segmented: every window keyed beyond bare user_id",
+          bool(specs) and all(
+              ("block" in s) for s in specs
+          ), f"{len(specs)} window specs")
+    check("asof-segmented: no cartesian/nested-loop",
+          "Cartesian" not in raw8e2 and "NestedLoop" not in raw8e2, "")
+
     # 8f. bounded-window attribution: bucket equi-join (never an
     # unbounded inequality join / cartesian)
     wa = C.window_attrib_query(spark, sf)
