@@ -6,8 +6,8 @@ Usage (cluster):
         jobs/run_stream.py \\
         --input <transcript parquet dir (files appear over time)> \\
         --output <sink root> --checkpoint <streaming checkpoint root> \\
-        [--mode pipeline|wire|neardup|docdedup|trainingcut|ann-train|
-                ann-ingest|ann-neardup|sessions|dedup|counters|
+        [--mode pipeline|wire|neardup|docdedup|trainingcut|attrib|
+                ann-train|ann-ingest|ann-neardup|sessions|dedup|counters|
                 {events,neardup,docdedup,ann,trainingcut}-compact]
         [--salts N] [--centroids PATH] [--compact-mode incremental|full]
         [--drain]
@@ -66,6 +66,10 @@ watermarked, pipeline/wire/neardup are foreachBatch exactly-once):
                doc_id ranges (first-arrival-wins otherwise)
     trainingcut-compact  fold cut/totals plus the delegated dedup and
                near-dup stores (run between drains; --output = store)
+    attrib     bounded-window attribution over an EVENT stream via
+               Spark's native stream-stream interval join (watermarked
+               self-join, state bounded by the horizon); pair set equal
+               to the batch events_window_attrib over the drained input
     dedup      at-least-once redelivery guard
                (dropDuplicatesWithinWatermark on conv_id/turn_idx)
     counters   event-time windowed per-role counters
@@ -91,8 +95,8 @@ def main(argv: list[str]) -> int:
                              "events-compact", "ann-train", "ann-ingest",
                              "ann-neardup", "ann-compact", "docdedup",
                              "docdedup-compact", "trainingcut",
-                             "trainingcut-compact", "sessions", "dedup",
-                             "counters"])
+                             "trainingcut-compact", "attrib", "sessions",
+                             "dedup", "counters"])
     ap.add_argument("--salts", type=int, default=1,
                     help="wire mode: sub-chunkers per hot tag")
     ap.add_argument("--wire-format", default="fluentd",
@@ -166,6 +170,11 @@ def main(argv: list[str]) -> int:
                     spark, args.input, args.output, args.checkpoint,
                     args.centroids, neardup=(args.mode == "ann-neardup"),
                 )
+            return 0
+        if args.mode == "attrib":
+            S.run_stream_attrib(
+                spark, args.input, args.output, args.checkpoint
+            )
             return 0
         if args.mode == "trainingcut":
             S.run_stream_training_cut(

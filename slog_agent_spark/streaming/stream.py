@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -1112,6 +1113,113 @@ def run_stream_training_cut(
             training_cut_batch_handler(store_dir, params=params)
         )
         .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# -- streaming window attribution: native stream-stream interval join ---------
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+
+def attrib_stream(
+    events: DataFrame,
+    mark_type: str = "view",
+    probe_type: str = "purchase",
+    horizon_sec: int = 6 * 3600,
+    late_sec: int = 600,
+) -> DataFrame:
+    """Bounded-window attribution as Spark's NATIVE stream-stream
+    interval join — the streaming twin of the batch
+    ``events_window_attrib`` (operators/eventops.window_attrib_sql),
+    and the one operator in this package where Structured Streaming's
+    built-in stateful join IS the right primitive (no foreachBatch
+    store needed): the join condition's time bound tells the engine
+    exactly how much mark-side state to keep, and the watermarks let
+    it expire state older than horizon + lateness.
+
+    Same pair semantics as the batch operator: mark at-or-before the
+    probe, age strictly under the horizon. State bound: marks are held
+    for ``horizon_sec + late_sec`` of event time, probes for
+    ``late_sec`` — constant per-key state at any stream age, the
+    scale-true property the batch bucket decomposition provides for
+    static data.
+
+    Inner join + append mode: each pair is emitted exactly once, when
+    both sides have arrived.
+    """
+    marks = (
+        events.where(F.col("event_type") == mark_type)
+        .select(
+            F.col("event_id").alias("mark_event_id"),
+            F.col("ts").alias("mark_ts"),
+            F.col("user_id").alias("mark_user"),
+            F.col("value").alias("mark_value"),
+        )
+        .withWatermark("mark_ts", f"{horizon_sec + late_sec} seconds")
+    )
+    probes = (
+        events.where(F.col("event_type") == probe_type)
+        .select(
+            F.col("event_id").alias("probe_event_id"),
+            F.col("ts").alias("probe_ts"),
+            F.col("user_id"),
+            F.col("value").alias("probe_value"),
+        )
+        .withWatermark("probe_ts", f"{late_sec} seconds")
+    )
+    joined = probes.join(
+        marks,
+        F.expr(
+            f"""
+            user_id = mark_user
+            AND mark_ts <= probe_ts
+            AND mark_ts > probe_ts - INTERVAL {horizon_sec} SECONDS
+            """
+        ),
+        "inner",
+    )
+    return joined.select(
+        "probe_event_id", "mark_event_id", "user_id",
+        F.unix_micros("probe_ts").alias("probe_ts_us"),
+        F.unix_micros("mark_ts").alias("mark_ts_us"),
+        "probe_value", "mark_value",
+        (F.unix_micros("probe_ts") - F.unix_micros("mark_ts")).alias("age_us"),
+    )
+
+
+def run_stream_attrib(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    horizon_sec: int = 6 * 3600,
+) -> None:
+    """Drain an event stream through the native interval join
+    (availableNow trigger), appending attribution pairs as parquet."""
+    q = (
+        attrib_stream(stream_events(spark, input_dir), horizon_sec=horizon_sec)
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )

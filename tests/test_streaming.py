@@ -831,3 +831,38 @@ def test_streaming_training_cut_replay_no_duplicates(spark, sf_dir):
         assert sorted(
             map(tuple, spark.read.parquet(f"{work}/store/totals").collect())
         ) == totals_before
+
+
+def test_streaming_attrib_equals_batch(spark, sf_dir):
+    """The native stream-stream interval join, drained over the events
+    corpus in micro-batches, emits exactly the batch
+    events_window_attrib pair set (same columns, same values) — the
+    one operator where Structured Streaming's built-in stateful join
+    is the right primitive, with state bounded by the join's own time
+    horizon."""
+    from slog_agent_spark.plans import corpus as C
+    from slog_agent_spark.streaming.stream import run_stream_attrib
+
+    with tempfile.TemporaryDirectory() as work:
+        edir = f"{work}/events"
+        (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .repartition(8)
+            .write.parquet(edir)
+        )
+        run_stream_attrib(spark, edir, f"{work}/out", f"{work}/ckpt")
+        got = sorted(
+            map(tuple, spark.read.parquet(f"{work}/out").select(
+                "probe_event_id", "mark_event_id", "user_id",
+                "probe_ts_us", "mark_ts_us", "probe_value", "mark_value",
+                "age_us",
+            ).collect())
+        )
+        want = sorted(
+            map(tuple, C.window_attrib_query(spark, sf_dir).select(
+                "probe_event_id", "mark_event_id", "user_id",
+                "probe_ts_us", "mark_ts_us", "probe_value", "mark_value",
+                "age_us",
+            ).collect())
+        )
+        assert got == want and got
