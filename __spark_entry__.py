@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_enrich": C.asof_enrich_query,
         "events_window_attrib": C.window_attrib_query,
         "events_asof_segmented": C.asof_segmented_query,
+        "events_sessionize": C.sessionize_query,
         "corpus_retention": C.corpus_retention_query,
         "corpus_training_cut": C.corpus_training_cut_query,
         "multimodal_feature_extract": lambda spark, sf: _mm_features(spark, sf),
@@ -203,6 +204,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_enrich": C.asof_enrich_oracle(),
         "events_window_attrib": C.window_attrib_oracle(),
         "events_asof_segmented": C.asof_segmented_oracle(),
+        "events_sessionize": C.sessionize_oracle(),
         "corpus_retention": C.corpus_retention_oracle(),
         "corpus_training_cut": C.corpus_training_cut_oracle(),
         "multimodal_feature_extract": _mm_oracle(),

@@ -246,3 +246,69 @@ def asof_enrich_segmented_sql(
     JOIN bcarry c ON c.user_id = p.user_id AND c.block = p.block
     WHERE p.side = 1
     """
+
+
+SESSION_GAP_SEC = 8 * 3600
+
+
+def sessionize_sql(
+    d: SqlDialect,
+    rel: str = "events",
+    gap_sec: int = SESSION_GAP_SEC,
+) -> str:
+    """Gap-based sessionization over the event stream: a new session
+    starts when a user's inter-event gap EXCEEDS ``gap_sec`` (default
+    8h — the fixture's per-user event cadence is hours, not minutes;
+    strictly —
+    a gap of exactly the threshold continues the session, matching the
+    streaming sessionizer's closed interval, see README divergences).
+    One rollup row per session.
+
+    The classic two-window prefix-sum formulation (lag → boundary flag →
+    running sum = session ordinal), engine-neutral SQL: both windows
+    share ONE shuffle on user_id (same partition key, same ordering —
+    Catalyst plans a single Exchange), the rollup groupBy reuses the
+    (user, session) grouping with map-side partial agg. Ties broken by
+    event_id so duplicate timestamps sessionize deterministically.
+
+    Hot-user caveat (same as the plain as-of): one user's events land in
+    one task; for a pathological single user the segmented-carry trick
+    in asof_enrich_segmented_sql applies, at the cost of a block-merge
+    pass (sessions spanning block boundaries must be stitched) — not
+    implemented until data demands it; the events keyspace here is
+    user-uniform.
+    """
+    gap_us = gap_sec * 1_000_000
+    return f"""
+    WITH ordered AS (
+      SELECT event_id, user_id, event_type,
+             {d.unix_micros('ts')} AS ts_us,
+             lag({d.unix_micros('ts')}) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_us
+      FROM {rel}
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL
+                       OR ts_us - prev_us > {gap_us}
+                     THEN 1 ELSE 0 END AS is_start
+      FROM ordered
+    ),
+    numbered AS (
+      SELECT *, sum(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts_us) AS session_start_us,
+           max(ts_us) AS session_end_us,
+           max(ts_us) - min(ts_us) AS duration_us,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """

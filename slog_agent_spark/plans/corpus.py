@@ -204,6 +204,9 @@ window_attrib_query, window_attrib_oracle = _sql_query(
 asof_segmented_query, asof_segmented_oracle = _sql_query(
     eventops.asof_enrich_segmented_sql, ("events",)
 )
+sessionize_query, sessionize_oracle = _sql_query(
+    eventops.sessionize_sql, ("events",)
+)
 boilerplate_query, boilerplate_oracle = _staged_query(
     [("bl_post", textops.boilerplate_post_sql)],
     lambda d: textops.boilerplate_sql(d, post_rel="bl_post"),

@@ -153,3 +153,39 @@ def test_asof_segmented_gate_parity_on_fixture(spark, duck):
         C.asof_segmented_query(spark, SF_DIR), duck,
         C.asof_segmented_oracle(),
     )
+
+
+def test_sessionize_gap_semantics(duck):
+    """Gap strictly greater than the threshold splits; exactly the
+    threshold continues (closed interval, matching the streaming
+    sessionizer divergence note); duplicate timestamps stay in one
+    session; rollup conserves the event count."""
+    from slog_agent_spark.operators.eventops import sessionize_sql
+
+    g = 100
+    rows = [
+        (1, 0, 1, "view", 0.0),
+        (2, 100, 1, "view", 0.0),     # gap == g -> same session
+        (3, 201, 1, "purchase", 0.0),  # gap 101 > g -> new session
+        (4, 201, 1, "view", 0.0),     # duplicate ts -> same session
+        (5, 0, 2, "view", 0.0),       # other user independent
+    ]
+    got = sorted(
+        duckdb.connect()
+        .execute(
+            sessionize_sql(DUCKDB, rel=_events_values(rows), gap_sec=g)
+        )
+        .fetchall()
+    )
+    # (user, seq, n_events, start, end, duration, n_purchases)
+    assert got == [
+        (1, 1, 2, 0, 100 * US, 100 * US, 0),
+        (1, 2, 2, 201 * US, 201 * US, 0, 1),
+        (2, 1, 1, 0, 0, 0, 0),
+    ]
+
+
+def test_sessionize_gate_parity_on_fixture(spark, duck):
+    assert_df_equals_oracle(
+        C.sessionize_query(spark, SF_DIR), duck, C.sessionize_oracle()
+    )

@@ -383,6 +383,21 @@ def main() -> None:
     check("asof-segmented: no cartesian/nested-loop",
           "Cartesian" not in raw8e2 and "NestedLoop" not in raw8e2, "")
 
+    # 8e3. event sessionization: lag + running-sum + rollup must share
+    # ONE shuffle (same partition key and ordering throughout)
+    es = C.sessionize_query(spark, sf)
+    raw8e3 = plan_of(es)
+    n_ex8e3 = len(re.findall(r"Exchange hashpartitioning", raw8e3))
+    sections.append((
+        "event sessionization (`events_sessionize`)",
+        "two windows (lag -> boundary flag -> running sum) and the "
+        "session rollup all keyed on user_id: one Exchange serves the "
+        "whole chain.",
+        formatted(es),
+    ))
+    check("events-sessionize: one shuffle for both windows + rollup",
+          n_ex8e3 == 1, f"{n_ex8e3} exchanges")
+
     # 8f. bounded-window attribution: bucket equi-join (never an
     # unbounded inequality join / cartesian)
     wa = C.window_attrib_query(spark, sf)
