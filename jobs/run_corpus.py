@@ -13,7 +13,9 @@ Runs the selected operators and writes each result as parquet under
 ``<output>/<op>/``. These are the standard pretraining-data passes:
 dedup (exact / MinHash+LSH / n-gram Jaccard / banded-Hamming SimHash),
 embedding near-dup (trained IVF, multi-assign), ANN top-k, text
-quality/language/token reports, and the per-language corpus rollup.
+quality/language/token reports, the per-language corpus rollup, and
+the temporal event operators (as-of enrich plain + segmented, bounded-
+window attribution, gap sessionization) over events.parquet.
 
 Scale notes: every operator here is shuffle-shaped for a real cluster
 (band-key / posting-list / bucket joins, broadcast centroid tables — no
@@ -57,6 +59,12 @@ DOC_OPS = (
     "corpus_retention",
     "corpus_training_cut",
 )
+EVENT_OPS = (
+    "events_asof_enrich",
+    "events_asof_segmented",
+    "events_window_attrib",
+    "events_sessionize",
+)
 EMB_OPS = (
     "ann_topk_bruteforce",
     "ann_topk_ivf",
@@ -89,6 +97,10 @@ def registry(params=None):
         "corpus_mix_sample": C.mix_sample_query,
         "corpus_contamination": C.contamination_query,
         "corpus_boilerplate": C.boilerplate_query,
+        "events_asof_enrich": C.asof_enrich_query,
+        "events_asof_segmented": C.asof_segmented_query,
+        "events_window_attrib": C.window_attrib_query,
+        "events_sessionize": C.sessionize_query,
         "dedup_exact": C.exact_dedup_query,
         "dedup_minhash_lsh": C.minhash_lsh_query,
         "dedup_minhash_lsh_salted": C.minhash_lsh_salted_query,
@@ -159,7 +171,7 @@ def main(argv: list[str]) -> int:
     ops = (
         [o.strip() for o in args.ops.split(",") if o.strip()]
         if args.ops
-        else list(DOC_OPS + EMB_OPS)
+        else list(DOC_OPS + EVENT_OPS + EMB_OPS)
     )
     # reject op-name typos before spinning up a session; ValueErrors
     # raised during execution propagate with their tracebacks

@@ -4,7 +4,7 @@ params-bound registry must stay in sync as operators are added."""
 from __future__ import annotations
 
 import __spark_entry__ as entry_mod
-from jobs.run_corpus import DOC_OPS, EMB_OPS, EXTRA_OPS, registry
+from jobs.run_corpus import DOC_OPS, EMB_OPS, EVENT_OPS, EXTRA_OPS, registry
 from slog_agent_spark.plans.corpus import build_corpus_queries
 from slog_agent_spark.plans.corpus_config import DEFAULT_CORPUS_PARAMS
 
@@ -19,7 +19,7 @@ def test_every_query_has_an_oracle():
 
 def test_corpus_job_ops_resolve_and_cover_param_registry():
     reg = registry()
-    for op in DOC_OPS + EMB_OPS + EXTRA_OPS:
+    for op in DOC_OPS + EVENT_OPS + EMB_OPS + EXTRA_OPS:
         assert op in reg, op
     # every params-rebindable operator is runnable through the job
     for name in build_corpus_queries(DEFAULT_CORPUS_PARAMS):
@@ -30,7 +30,7 @@ def test_corpus_gate_queries_runnable_via_job():
     """Each corpus_/dedup_/ann_/embedding_/doc_ gate query is exposed by
     the corpus job (a reference user can run every claimed operator)."""
     reg = registry()
-    prefixes = ("corpus_", "dedup_", "ann_", "embedding_", "doc_")
+    prefixes = ("corpus_", "dedup_", "ann_", "embedding_", "doc_", "events_")
     for name in entry_mod.queries():
         if name.startswith(prefixes) and not name.startswith("doc_length"):
             assert name in reg or name in (
