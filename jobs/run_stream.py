@@ -6,9 +6,10 @@ Usage (cluster):
         jobs/run_stream.py \\
         --input <transcript parquet dir (files appear over time)> \\
         --output <sink root> --checkpoint <streaming checkpoint root> \\
-        [--mode pipeline|wire|neardup|docdedup|trainingcut|attrib|
-                ann-train|ann-ingest|ann-neardup|sessions|dedup|counters|
-                {events,neardup,docdedup,ann,trainingcut}-compact]
+        [--mode pipeline|wire|neardup|docdedup|trainingcut|boilerplate|
+                attrib|ann-train|ann-ingest|ann-neardup|sessions|dedup|
+                counters|
+                {events,neardup,docdedup,ann,trainingcut,boilerplate}-compact]
         [--salts N] [--centroids PATH] [--compact-mode incremental|full]
         [--drain]
 
@@ -66,6 +67,13 @@ watermarked, pipeline/wire/neardup are foreachBatch exactly-once):
                doc_id ranges (first-arrival-wins otherwise)
     trainingcut-compact  fold cut/totals plus the delegated dedup and
                near-dup stores (run between drains; --output = store)
+    boilerplate  incremental cross-document boilerplate detection over
+               a DOCUMENT stream: per-batch shingle document-frequency
+               partials into a bucketed store; verdicts use counts as of
+               arrival (first-arrival policy — a later-common shingle
+               does not retro-cut earlier docs); frequency rollup equals
+               the batch operator's under any order
+    boilerplate-compact  fold the freq/cut stores (between drains)
     attrib     bounded-window attribution over an EVENT stream via
                Spark's native stream-stream interval join (watermarked
                self-join, state bounded by the horizon); pair set equal
@@ -95,7 +103,8 @@ def main(argv: list[str]) -> int:
                              "events-compact", "ann-train", "ann-ingest",
                              "ann-neardup", "ann-compact", "docdedup",
                              "docdedup-compact", "trainingcut",
-                             "trainingcut-compact", "attrib", "sessions",
+                             "trainingcut-compact", "boilerplate",
+                             "boilerplate-compact", "attrib", "sessions",
                              "dedup", "counters"])
     ap.add_argument("--salts", type=int, default=1,
                     help="wire mode: sub-chunkers per hot tag")
@@ -176,13 +185,19 @@ def main(argv: list[str]) -> int:
                 spark, args.input, args.output, args.checkpoint
             )
             return 0
+        if args.mode == "boilerplate":
+            S.run_stream_boilerplate(
+                spark, args.input, args.output, args.checkpoint
+            )
+            return 0
         if args.mode == "trainingcut":
             S.run_stream_training_cut(
                 spark, args.input, args.output, args.checkpoint
             )
             return 0
         if args.mode in ("neardup-compact", "events-compact", "ann-compact",
-                         "docdedup-compact", "trainingcut-compact"):
+                         "docdedup-compact", "trainingcut-compact",
+                         "boilerplate-compact"):
             # between drains (never concurrently with the stream): fold
             # committed per-batch store partitions into the bounded base
             if args.mode == "ann-compact":
@@ -195,6 +210,7 @@ def main(argv: list[str]) -> int:
                     "events-compact": S.compact_events_sink,
                     "docdedup-compact": S.compact_docdedup_store,
                     "trainingcut-compact": S.compact_training_cut_store,
+                    "boilerplate-compact": S.compact_boilerplate_store,
                 }[args.mode]
             report = compact(spark, args.output, mode=args.compact_mode)
             for table, r in report.items():

@@ -786,33 +786,19 @@ def boilerplate_post_sql(d: SqlDialect, rel: str = "documents") -> str:
     """
 
 
-def boilerplate_sql(
+def boilerplate_from_common_sql(
     d: SqlDialect,
-    rel: str = "documents",
-    min_docs: int = BOILERPLATE_MIN_DOCS,
-    post_rel: str | None = None,
+    rel: str,
+    post_rel: str,
+    common_rel: str,
 ) -> str:
-    """Cross-document boilerplate removal: tokens covered by any shingle
-    present in ``min_docs``+ distinct documents are cut; one row per doc
-    with coverage counts and the md5 of the cleaned text (the rewrite is
-    asserted via hash — the result table stays narrow at corpus scale).
-
-    Scale shape: frequency groupBy(shingle) with map-side partial agg is
-    the one corpus-sized shuffle; the common-shingle set it yields is
-    TINY (151 of 16k shingles at sf0.01 — boilerplate vocabulary, not
-    corpus) so the hit join broadcasts; covered-position expansion is
-    per-doc array arithmetic (flatten/transform over hit starts), never
-    a second explode; final reassembly is one groupBy-free projection
-    joined doc-to-hits.
-
-    ``post_rel`` names the staged postings relation (Spark runner);
-    None composes the CTE inline (the DuckDB oracle form).
-    """
+    """Per-document boilerplate verdicts given an EXPLICIT common-shingle
+    relation — the shared tail of the batch operator (which derives
+    ``common_rel`` from a corpus-wide frequency groupBy) and the
+    streaming handler (which derives it from the incremental
+    document-frequency store's counts-so-far). One arithmetic, two
+    frequency sources."""
     n = BOILERPLATE_NGRAM
-    prelude = ""
-    if post_rel is None:
-        prelude = f"bl_post AS ({boilerplate_post_sql(d, rel)}),"
-        post_rel = "bl_post"
     toks = tokens_expr(d, "text")
     if d.name == d.SPARK:
         hits_agg = "collect_list(p.pos)"
@@ -844,14 +830,9 @@ def boilerplate_sql(
     size_cov = "size(cov)" if d.name == d.SPARK else "len(cov)"
     size_hits = "size(hits)" if d.name == d.SPARK else "len(hits)"
     return f"""
-    WITH {prelude}
-    freq AS (
-      SELECT shingle FROM {post_rel}
-      GROUP BY shingle HAVING count(DISTINCT doc_id) >= {min_docs}
-    ),
-    hitpos AS (
+    WITH hitpos AS (
       SELECT p.doc_id, {hits_agg} AS hits
-      FROM {post_rel} p JOIN freq f ON p.shingle = f.shingle
+      FROM {post_rel} p JOIN {common_rel} f ON p.shingle = f.shingle
       GROUP BY p.doc_id
     ),
     joined AS (
@@ -873,4 +854,45 @@ def boilerplate_sql(
            {d.md5(f"CASE WHEN cov IS NULL THEN {full} ELSE {clean} END")}
              AS clean_hash
     FROM joined
+    """
+
+
+def boilerplate_sql(
+    d: SqlDialect,
+    rel: str = "documents",
+    min_docs: int = BOILERPLATE_MIN_DOCS,
+    post_rel: str | None = None,
+) -> str:
+    """Cross-document boilerplate removal: tokens covered by any shingle
+    present in ``min_docs``+ distinct documents are cut; one row per doc
+    with coverage counts and the md5 of the cleaned text (the rewrite is
+    asserted via hash — the result table stays narrow at corpus scale).
+
+    Scale shape: frequency groupBy(shingle) with map-side partial agg is
+    the one corpus-sized shuffle; the common-shingle set it yields is
+    TINY (151 of 16k shingles at sf0.01 — boilerplate vocabulary, not
+    corpus) so the hit join broadcasts; covered-position expansion is
+    per-doc array arithmetic (flatten/transform over hit starts), never
+    a second explode; final reassembly is one groupBy-free projection
+    joined doc-to-hits.
+
+    ``post_rel`` names the staged postings relation (Spark runner);
+    None composes the CTE inline (the DuckDB oracle form). The verdict
+    arithmetic lives in :func:`boilerplate_from_common_sql`, shared
+    verbatim with the streaming handler's counts-so-far store.
+    """
+    prelude = ""
+    if post_rel is None:
+        prelude = f"bl_post AS ({boilerplate_post_sql(d, rel)}), "
+        post_rel = "bl_post"
+    tail = boilerplate_from_common_sql(d, rel, post_rel, "freq")
+    assert tail.lstrip().startswith("WITH ")
+    body = tail.lstrip()[len("WITH "):]
+    return f"""
+    WITH {prelude}
+    freq AS (
+      SELECT shingle FROM {post_rel}
+      GROUP BY shingle HAVING count(DISTINCT doc_id) >= {min_docs}
+    ),
+    {body}
     """

@@ -1224,3 +1224,191 @@ def run_stream_attrib(
         .start()
     )
     q.awaitTermination()
+
+
+# -- streaming boilerplate: incremental shingle document-frequency store ------
+BOILERPLATE_SHINGLE_BUCKETS = 64
+
+
+def boilerplate_batch_handler(
+    store_dir: str,
+    min_docs: int | None = None,
+    stats: list | None = None,
+):
+    """foreachBatch handler for INCREMENTAL cross-document boilerplate
+    detection — the streaming twin of the batch ``corpus_boilerplate``
+    (operators/textops.boilerplate_sql).
+
+    State is the shingle DOCUMENT-FREQUENCY store: each batch writes one
+    (shingle, n_docs) partial per shingle it contains, partitioned by
+    (batch_id, shingle_bkt). The rollup (sum per shingle) equals the
+    batch operator's frequency relation under ANY arrival order —
+    counting commutes. Per-batch verdicts use counts SO FAR (prior
+    partials + this batch): a doc's tokens are cut when covered by a
+    shingle that is already common at the doc's arrival — the
+    first-arrival policy every no-retraction stream must adopt (a
+    shingle that crosses the threshold later does not retro-cut earlier
+    docs; the batch operator over the drained corpus is the
+    reconciliation query, and the single-batch drain is pytest-pinned
+    value-identical to it).
+
+    Bounded reads: the freq-store read is partition-pruned to the
+    shingle buckets this batch touches and semi-joined to the batch's
+    shingle set — bounded by the batch vocabulary, never the corpus
+    (``stats`` receives the scanned row count). Exactly-once: both
+    tables partition by batch_id with dynamic overwrite; the prior-count
+    read excludes the current batch_id.
+    """
+    from ..functions.dialect import SPARK as SPARK_D
+    from ..operators import textops
+    from ..sinks.writers import write_table
+
+    min_docs = textops.BOILERPLATE_MIN_DOCS if min_docs is None else min_docs
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch_df.sparkSession
+        docs = batch_df.select("doc_id", "text").localCheckpoint()
+        docs.createOrReplaceTempView("bl_batch_docs")
+        post = spark.sql(
+            textops.boilerplate_post_sql(SPARK_D, "bl_batch_docs")
+        ).localCheckpoint()
+        post.createOrReplaceTempView("bl_batch_post")
+
+        batch_freq = (
+            post.groupBy("shingle")
+            .agg(F.countDistinct("doc_id").alias("n_docs"))
+            .withColumn(
+                "shingle_bkt",
+                F.pmod(F.xxhash64(F.col("shingle")),
+                       F.lit(BOILERPLATE_SHINGLE_BUCKETS)).cast("int"),
+            )
+        ).localCheckpoint()
+
+        freq_path = f"{store_dir}/freq"
+        _heal_swapped_dir(freq_path)
+        n_scanned = 0
+        try:
+            store = spark.read.parquet(freq_path)
+        except AnalysisException:
+            store = None
+        if store is not None:
+            touched = [
+                r["shingle_bkt"]
+                for r in batch_freq.select("shingle_bkt").distinct().collect()
+            ]
+            prior = (
+                store.where(
+                    (F.col("batch_id").cast("long") != batch_id)
+                    & F.col("shingle_bkt").cast("int").isin(touched)
+                )
+                .join(batch_freq.select("shingle"), "shingle")
+                .groupBy("shingle")
+                .agg(F.sum("n_docs").alias("prior_docs"))
+            ).localCheckpoint()
+            if stats is not None:
+                n_scanned = prior.count()
+        else:
+            prior = None
+
+        total = batch_freq.select("shingle", "n_docs")
+        if prior is not None:
+            total = (
+                total.join(prior, "shingle", "left")
+                .select(
+                    "shingle",
+                    (F.col("n_docs")
+                     + F.coalesce(F.col("prior_docs"), F.lit(0))
+                     ).alias("n_docs"),
+                )
+            )
+        common = total.where(F.col("n_docs") >= min_docs).select("shingle")
+        common.localCheckpoint().createOrReplaceTempView("bl_common")
+
+        # per-doc verdicts over THIS batch, common set as of arrival —
+        # same covered-position arithmetic as the batch operator, with
+        # the frequency CTE replaced by the store-backed common view
+        verdict = spark.sql(
+            textops.boilerplate_from_common_sql(
+                SPARK_D, "bl_batch_docs", "bl_batch_post", "bl_common"
+            )
+        )
+        write_table(
+            verdict.withColumn(
+                "doc_bkt", _doc_bucket(TRAINING_CUT_DOC_BUCKETS)
+            )
+            .repartition(F.col("doc_bkt"))
+            .withColumn("batch_id", F.lit(batch_id)),
+            f"{store_dir}/cut",
+            partition_by=["batch_id", "doc_bkt"],
+            mode="overwrite_partitions",
+        )
+        write_table(
+            batch_freq.repartition(F.col("shingle_bkt"))
+            .withColumn("batch_id", F.lit(batch_id)),
+            freq_path,
+            partition_by=["batch_id", "shingle_bkt"],
+            mode="overwrite_partitions",
+        )
+        if stats is not None:
+            stats.append({
+                "batch_id": batch_id,
+                "n_docs": docs.count(),
+                "n_batch_shingles": batch_freq.count(),
+                "store_freq_rows_scanned": n_scanned,
+            })
+
+    return handle
+
+
+def boilerplate_freq_rollup(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Canonical shingle document frequencies from the streamed partials
+    (sum per shingle) — value-identical to the batch operator's
+    frequency relation under any arrival order."""
+    path = f"{store_dir}/freq"
+    _store.heal_swapped_dir(path)
+    return (
+        spark.read.parquet(path)
+        .groupBy("shingle")
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
+
+
+def compact_boilerplate_store(
+    spark: SparkSession, store_dir: str, mode: str = "incremental",
+) -> dict:
+    report = {}
+    r = _store.fold_batch_partitions(
+        spark, f"{store_dir}/freq",
+        secondary="shingle_bkt", n_tasks=BOILERPLATE_SHINGLE_BUCKETS,
+        sort_keys=["shingle"], mode=mode,
+    )
+    if r is not None:
+        report["freq"] = r
+    r = _store.fold_batch_partitions(
+        spark, f"{store_dir}/cut",
+        secondary="doc_bkt", n_tasks=TRAINING_CUT_DOC_BUCKETS,
+        sort_keys=["doc_id"], mode=mode,
+    )
+    if r is not None:
+        report["cut"] = r
+    return report
+
+
+def run_stream_boilerplate(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain a document stream through incremental boilerplate detection
+    (availableNow trigger)."""
+    q = (
+        stream_documents(spark, input_dir)
+        .writeStream.foreachBatch(boilerplate_batch_handler(store_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -866,3 +866,80 @@ def test_streaming_attrib_equals_batch(spark, sf_dir):
             ).collect())
         )
         assert got == want and got
+
+
+def test_streaming_boilerplate_single_batch_equals_batch(spark, sf_dir):
+    """In the single-batch limit, counts-so-far == corpus counts, so the
+    streamed verdicts are value-identical to the batch
+    corpus_boilerplate operator; replaying the batch changes nothing."""
+    from slog_agent_spark.plans import corpus as C
+    from slog_agent_spark.streaming.stream import boilerplate_batch_handler
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    cols = ["doc_id", "n_tokens", "n_hit_shingles", "n_covered_tokens",
+            "boilerplate_ratio", "clean_hash"]
+    with tempfile.TemporaryDirectory() as work:
+        handler = boilerplate_batch_handler(f"{work}/store")
+        handler(docs, 0)
+        read = lambda: sorted(  # noqa: E731
+            tuple(r[c] for c in cols)
+            for r in spark.read.parquet(f"{work}/store/cut").collect()
+        )
+        got = read()
+        want = sorted(
+            tuple(r[c] for c in cols)
+            for r in C.boilerplate_query(spark, sf_dir).collect()
+        )
+        assert got == want and got
+        handler(docs, 0)  # replay
+        assert read() == got
+
+
+def test_streaming_boilerplate_first_arrival_and_freq_rollup(spark):
+    """A shingle that crosses the min_docs threshold in a later batch
+    cuts docs FROM that batch on, never retroactively (first-arrival
+    policy); the frequency rollup itself is order-independent and equals
+    the corpus-wide counts. Store reads stay candidate-bounded."""
+    from slog_agent_spark.streaming.stream import (
+        boilerplate_batch_handler,
+        boilerplate_freq_rollup,
+        compact_boilerplate_store,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    span = "common span here"
+    b0 = mk([(1, f"alpha beta {span} gamma"), (2, "unrelated words only")])
+    b1 = mk([(3, f"delta {span} epsilon zeta"),
+             (4, f"eta theta {span} iota")])
+    with tempfile.TemporaryDirectory() as work:
+        stats: list = []
+        handler = boilerplate_batch_handler(
+            f"{work}/store", min_docs=2, stats=stats
+        )
+        handler(b0, 0)
+        handler(b1, 1)
+        cut = {
+            r["doc_id"]: (r["n_hit_shingles"], r["n_covered_tokens"])
+            for r in spark.read.parquet(f"{work}/store/cut").collect()
+        }
+        # batch 0: span seen once -> below threshold at arrival, not cut
+        assert cut[1] == (0, 0) and cut[2] == (0, 0)
+        # batch 1: prior count 1 + in-batch 2 -> common; both docs cut
+        assert cut[3][1] > 0 and cut[4][1] > 0
+        # frequency rollup is order-independent: equals corpus-wide DF
+        freq = {
+            r["shingle"]: r["n_docs"]
+            for r in boilerplate_freq_rollup(spark, f"{work}/store").collect()
+        }
+        assert max(freq.values()) == 3  # the span's shingle: docs 1,3,4
+        # the store read was bounded by the batch's shingle set
+        assert stats[1]["store_freq_rows_scanned"] <= stats[1]["n_batch_shingles"]
+        rep = compact_boilerplate_store(spark, f"{work}/store")
+        assert "freq" in rep and "cut" in rep
+        after = {
+            r["shingle"]: r["n_docs"]
+            for r in boilerplate_freq_rollup(spark, f"{work}/store").collect()
+        }
+        assert after == freq
