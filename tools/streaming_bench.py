@@ -95,6 +95,46 @@ def main(argv):
             rep,
         ))
 
+        # ---- boilerplate shingle-DF store --------------------------------
+        walls, stats = run_store(
+            "boilerplate",
+            lambda d, s: S.boilerplate_batch_handler(f"{d}/bl", stats=s),
+            doc_parts, spark, work,
+        )
+        rep = S.compact_boilerplate_store(spark, f"{work}/bl")
+        sections.append((
+            "Incremental boilerplate (shingle document-frequency store)",
+            walls, [
+                (s["batch_id"], s["n_batch_shingles"],
+                 s["store_freq_rows_scanned"]) for s in stats
+            ],
+            "batch | batch shingles | store freq rows scanned "
+            "(batch-vocabulary-bounded)",
+            rep,
+        ))
+
+        # ---- training cut (composes dedup + near-dup stores) -------------
+        mix_parts = [
+            p.selectExpr("doc_id", "text", "CAST(NULL AS STRING) AS lang")
+            for p in doc_parts
+        ]
+        walls, stats = run_store(
+            "trainingcut",
+            lambda d, s: S.training_cut_batch_handler(f"{d}/tc", stats=s),
+            mix_parts, spark, work,
+        )
+        rep = S.compact_training_cut_store(spark, f"{work}/tc")
+        sections.append((
+            "Incremental training cut (dedup + near-dup + quality + mix "
+            "+ pack)",
+            walls, [
+                (s["batch_id"], s["n_docs"], s["n_selected"],
+                 s["prior_tokens"]) for s in stats
+            ],
+            "batch | docs | selected | carried token offset",
+            rep,
+        ))
+
         # ---- embedding near-dup over the ANN store ----------------------
         A.train_ann_centroids(spark, emb, f"{work}/cents")
         walls, stats = run_store(
