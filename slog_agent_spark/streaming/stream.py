@@ -927,16 +927,28 @@ def training_cut_batch_handler(
         nd_handle(docs.select("doc_id", "text"), batch_id)
 
         # read back ONLY this batch's partitions of the delegated stores
-        hashes = (
-            spark.read.parquet(f"{store_dir}/dedup/hashes")
-            .where(F.col("batch_id").cast("long") == batch_id)
-            .select("content_hash", "keep_doc_id", "is_first")
-        )
-        pairs = (
-            spark.read.parquet(f"{store_dir}/nd/pairs")
-            .where(F.col("batch_id").cast("long") == batch_id)
-            .select("doc_a", "doc_b")
-        )
+        # — by DIRECT partition path, not a full-table read filtered to
+        # batch_id: the latter lists every drained batch's directory
+        # (O(stream age) metadata per batch, the sprawl measured in
+        # BENCH/STREAMING.md); the direct path is O(1) and the
+        # partition always exists (the handlers above just wrote it)
+        def read_own_partition(path: str, schema: str):
+            # a batch that produced zero rows writes no partition dir
+            # (dynamic overwrite of nothing) — fall back to empty
+            try:
+                return spark.read.parquet(f"{path}/batch_id={batch_id}")
+            except AnalysisException:
+                return spark.createDataFrame([], schema)
+
+        hashes = read_own_partition(
+            f"{store_dir}/dedup/hashes",
+            "content_hash string, keep_doc_id long, cnt long, "
+            "is_first boolean, hash_bkt int",
+        ).select("content_hash", "keep_doc_id", "is_first")
+        pairs = read_own_partition(
+            f"{store_dir}/nd/pairs",
+            "doc_a long, doc_b long, jaccard double",
+        ).select("doc_a", "doc_b")
         docs.createOrReplaceTempView("tc_batch_docs")
         hashes.createOrReplaceTempView("tc_batch_hashes")
         pairs.createOrReplaceTempView("tc_batch_pairs")
