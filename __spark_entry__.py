@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_attrib": C.window_attrib_query,
         "events_asof_segmented": C.asof_segmented_query,
         "events_sessionize": C.sessionize_query,
+        "events_funnel": C.funnel_query,
         "corpus_retention": C.corpus_retention_query,
         "corpus_training_cut": C.corpus_training_cut_query,
         "multimodal_feature_extract": lambda spark, sf: _mm_features(spark, sf),
@@ -205,6 +206,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window_attrib": C.window_attrib_oracle(),
         "events_asof_segmented": C.asof_segmented_oracle(),
         "events_sessionize": C.sessionize_oracle(),
+        "events_funnel": C.funnel_oracle(),
         "corpus_retention": C.corpus_retention_oracle(),
         "corpus_training_cut": C.corpus_training_cut_oracle(),
         "multimodal_feature_extract": _mm_oracle(),

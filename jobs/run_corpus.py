@@ -64,6 +64,7 @@ EVENT_OPS = (
     "events_asof_segmented",
     "events_window_attrib",
     "events_sessionize",
+    "events_funnel",
 )
 EMB_OPS = (
     "ann_topk_bruteforce",
@@ -101,6 +102,7 @@ def registry(params=None):
         "events_asof_segmented": C.asof_segmented_query,
         "events_window_attrib": C.window_attrib_query,
         "events_sessionize": C.sessionize_query,
+        "events_funnel": C.funnel_query,
         "dedup_exact": C.exact_dedup_query,
         "dedup_minhash_lsh": C.minhash_lsh_query,
         "dedup_minhash_lsh_salted": C.minhash_lsh_salted_query,

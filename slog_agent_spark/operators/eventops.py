@@ -312,3 +312,98 @@ def sessionize_sql(
     FROM numbered
     GROUP BY user_id, session_seq
     """
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_STEP_HORIZON_SEC = 24 * 3600
+
+
+def funnel_sql(
+    d: SqlDialect,
+    rel: str = "events",
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    step_horizon_sec: int = FUNNEL_STEP_HORIZON_SEC,
+) -> str:
+    """First-completion conversion funnel: per user, the earliest
+    ``steps[0]``, then the earliest ``steps[1]`` at-or-after it within
+    ``step_horizon_sec``, and so on — the product-analytics query every
+    event pipeline ships. One row per user with each reached step's
+    timestamp (-1 sentinel once the chain breaks) and the completion
+    flag.
+
+    Engine formulations DIVERGE deliberately (stronger oracle): Spark
+    groups each user's events into ONE sorted array and derives every
+    stage with array filter/min expressions — one shuffle, one
+    aggregate, no joins, no re-scan per step (at 100 TB, k funnel steps
+    as k self-joins would be k corpus scans; per-user event lists are
+    session-sized). DuckDB runs the classic k-stage conditional-min
+    chain over co-grouped step relations.
+    """
+    us = 1_000_000
+    h = step_horizon_sec * us
+    if d.name == d.SPARK:
+        lines = [
+            "WITH per_user AS (",
+            "  SELECT user_id, array_sort(collect_list(named_struct(",
+            f"    'ts_us', {d.unix_micros('ts')}, 'et', event_type))) AS evs",
+            f"  FROM {rel} GROUP BY user_id",
+            ")",
+        ]
+        prev = None
+        sel = ["user_id"]
+        for i, step in enumerate(steps):
+            cond = f"x.et = '{step}'"
+            if prev is not None:
+                cond += f" AND x.ts_us >= {prev} AND x.ts_us <= {prev} + {h}"
+            expr = (
+                f"array_min(transform(filter(evs, x -> {cond}), "
+                "x -> x.ts_us))"
+            )
+            lines.append(
+                f", s{i} AS (SELECT *, {expr} AS t{i} FROM "
+                + ("per_user" if i == 0 else f"s{i - 1}")
+                + ")"
+            )
+            prev = f"t{i}"
+            sel.append(f"coalesce(t{i}, -1) AS step{i}_us")
+        sel.append(
+            " AND ".join(f"t{i} IS NOT NULL" for i in range(len(steps)))
+            + " AS completed"
+        )
+        lines.append(
+            f"SELECT {', '.join(sel)} FROM s{len(steps) - 1}"
+        )
+        return "\n".join(lines)
+    # DuckDB: k-stage conditional-min chain
+    ctes = [
+        f"users AS (SELECT DISTINCT user_id FROM {rel})",
+        f"""s0 AS (
+          SELECT user_id, min(epoch_us(ts)) AS t0 FROM {rel}
+          WHERE event_type = '{steps[0]}' GROUP BY user_id
+        )""",
+    ]
+    for i, step in enumerate(steps[1:], start=1):
+        ctes.append(f"""s{i} AS (
+          SELECT e.user_id, min(epoch_us(e.ts)) AS t{i}
+          FROM (SELECT * FROM {rel}) e
+          JOIN s{i - 1} p ON p.user_id = e.user_id
+          WHERE e.event_type = '{step}'
+            AND epoch_us(e.ts) >= p.t{i - 1}
+            AND epoch_us(e.ts) <= p.t{i - 1} + {h}
+          GROUP BY e.user_id
+        )""")
+    sel = ["u.user_id"]
+    for i in range(len(steps)):
+        sel.append(f"coalesce(s{i}.t{i}, -1) AS step{i}_us")
+    sel.append(
+        " AND ".join(f"s{i}.t{i} IS NOT NULL" for i in range(len(steps)))
+        + " AS completed"
+    )
+    joins = "".join(
+        f" LEFT JOIN s{i} ON s{i}.user_id = u.user_id"
+        for i in range(len(steps))
+    )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT {', '.join(sel)} FROM users u{joins}"
+    )

@@ -207,6 +207,9 @@ asof_segmented_query, asof_segmented_oracle = _sql_query(
 sessionize_query, sessionize_oracle = _sql_query(
     eventops.sessionize_sql, ("events",)
 )
+funnel_query, funnel_oracle = _sql_query(
+    eventops.funnel_sql, ("events",)
+)
 boilerplate_query, boilerplate_oracle = _staged_query(
     [("bl_post", textops.boilerplate_post_sql)],
     lambda d: textops.boilerplate_sql(d, post_rel="bl_post"),

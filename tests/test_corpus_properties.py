@@ -147,3 +147,53 @@ def test_boilerplate_matches_positional_model(texts, min_docs):
         .fetchall()
     }
     assert got == _model_boilerplate(texts, min_docs)
+
+
+# all three funnel step types, tight time range so chains form and break
+funnel_events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 20),
+        st.integers(1, 3),
+        st.sampled_from(["view", "click", "purchase"]),
+        st.integers(0, 9),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(funnel_events_strategy, st.integers(1, 10))
+def test_funnel_matches_bruteforce(rows, horizon):
+    from slog_agent_spark.operators.eventops import funnel_sql
+
+    got = {
+        r[0]: r[1:]
+        for r in duckdb.connect()
+        .execute(
+            funnel_sql(
+                DUCKDB, rel=_events_rel(rows), step_horizon_sec=horizon
+            )
+        )
+        .fetchall()
+    }
+    evs = [(ts * US, uid, et) for ts, uid, et, _ in rows]
+    users = {uid for _, uid, _ in evs}
+    assert set(got) == users
+    h_us = horizon * US
+    for uid in users:
+        mine = [(t, et) for t, u, et in evs if u == uid]
+        want = []
+        prev = None  # earliest valid ts of the previous step, or None
+        for step in ("view", "click", "purchase"):
+            if want and want[-1] == -1:
+                want.append(-1)
+                continue
+            cand = [
+                t for t, et in mine
+                if et == step
+                and (prev is None or prev <= t <= prev + h_us)
+            ]
+            prev = min(cand) if cand else None
+            want.append(prev if prev is not None else -1)
+        assert got[uid] == (*want, all(w != -1 for w in want)), (uid, want)

@@ -189,3 +189,43 @@ def test_sessionize_gate_parity_on_fixture(spark, duck):
     assert_df_equals_oracle(
         C.sessionize_query(spark, SF_DIR), duck, C.sessionize_oracle()
     )
+
+
+def test_funnel_semantics(duck):
+    """The chain is ordered and horizon-bounded: a click BEFORE the
+    first view does not count; a purchase after the step horizon breaks
+    the chain; reached-step timestamps are the EARLIEST valid ones."""
+    from slog_agent_spark.operators.eventops import funnel_sql
+
+    h = 100
+    rows = [
+        # user 1: full conversion, earliest-valid picks
+        (1, 50, 1, "click", 0.0),     # click before the first view: ignored
+        (2, 100, 1, "view", 0.0),
+        (3, 150, 1, "click", 0.0),
+        (4, 160, 1, "click", 0.0),    # later click: not the earliest
+        (5, 200, 1, "purchase", 0.0),
+        # user 2: purchase outside the step horizon -> chain breaks
+        (6, 100, 2, "view", 0.0),
+        (7, 150, 2, "click", 0.0),
+        (8, 260, 2, "purchase", 0.0),  # 110 > h after the click
+        # user 3: never views
+        (9, 100, 3, "purchase", 0.0),
+    ]
+    got = {
+        r[0]: r[1:]
+        for r in duckdb.connect()
+        .execute(
+            funnel_sql(DUCKDB, rel=_events_values(rows), step_horizon_sec=h)
+        )
+        .fetchall()
+    }
+    assert got[1] == (100 * US, 150 * US, 200 * US, True)
+    assert got[2] == (100 * US, 150 * US, -1, False)
+    assert got[3] == (-1, -1, -1, False)
+
+
+def test_funnel_gate_parity_on_fixture(spark, duck):
+    assert_df_equals_oracle(
+        C.funnel_query(spark, SF_DIR), duck, C.funnel_oracle()
+    )

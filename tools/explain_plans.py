@@ -398,6 +398,22 @@ def main() -> None:
     check("events-sessionize: one shuffle for both windows + rollup",
           n_ex8e3 == 1, f"{n_ex8e3} exchanges")
 
+    # 8e4. funnel: one aggregate over per-user event arrays — no joins,
+    # no per-step corpus re-scan, exactly one shuffle
+    fu = C.funnel_query(spark, sf)
+    raw8e4 = plan_of(fu)
+    n_ex8e4 = len(re.findall(r"Exchange hashpartitioning", raw8e4))
+    sections.append((
+        "conversion funnel (`events_funnel`)",
+        "per-user sorted event array + per-step array filter/min "
+        "expressions: one shuffle, one aggregate, zero joins — k funnel "
+        "steps as k self-joins would be k corpus scans.",
+        formatted(fu),
+    ))
+    check("funnel: no join operator", "Join" not in raw8e4, "")
+    check("funnel: exactly one shuffle", n_ex8e4 == 1,
+          f"{n_ex8e4} exchanges")
+
     # 8f. bounded-window attribution: bucket equi-join (never an
     # unbounded inequality join / cartesian)
     wa = C.window_attrib_query(spark, sf)
