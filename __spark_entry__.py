@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups_cc": C.dedup_groups_query,
         "ann_topk_bruteforce": C.ann_bruteforce_query,
         "ann_topk_ivf": C.ann_ivf_query,
+        "ann_topk_ivf_quantized": C.ann_ivf_quantized_query,
         "ann_topk_ivf_trained": C.ann_ivf_trained_query,
         "ann_topk_batch": C.ann_topk_batch_query,
         "embedding_neardup_ivf": C.emb_neardup_query,
@@ -186,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_groups_cc": C.dedup_groups_oracle(),
         "ann_topk_bruteforce": C.ann_bruteforce_oracle(),
         "ann_topk_ivf": C.ann_ivf_oracle(),
+        "ann_topk_ivf_quantized": C.ann_ivf_quantized_oracle(),
         "ann_topk_ivf_trained": C.ann_ivf_trained_oracle(),
         "ann_topk_batch": C.ann_topk_batch_oracle(),
         "embedding_neardup_ivf": C.emb_neardup_oracle(),

@@ -69,6 +69,7 @@ EVENT_OPS = (
 EMB_OPS = (
     "ann_topk_bruteforce",
     "ann_topk_ivf",
+    "ann_topk_ivf_quantized",
     "ann_topk_ivf_trained",
     "ann_topk_batch",
     "embedding_neardup_trained",
@@ -114,6 +115,7 @@ def registry(params=None):
         "corpus_training_cut": C.corpus_training_cut_query,
         "ann_topk_bruteforce": C.ann_bruteforce_query,
         "ann_topk_ivf": C.ann_ivf_query,
+        "ann_topk_ivf_quantized": C.ann_ivf_quantized_query,
         "ann_topk_ivf_trained": C.ann_ivf_trained_query,
         "ann_topk_batch": C.ann_topk_batch_query,
         "embedding_neardup_trained": C.emb_neardup_trained_query,

@@ -613,3 +613,74 @@ def ann_topk_batch_sql(
       JOIN q ON q.q_id = c.q_id
     ) ranked WHERE rnk <= {k}
     """
+
+
+# -- int8 vector quantization --------------------------------------------------
+# symmetric per-vector scheme: q_i = floor(x_i * 127 / max|x| + 0.5),
+# scale = max|x| / 127. floor(+0.5) instead of round() pins the tie rule
+# across engines (Spark rounds HALF_UP, DuckDB half-even). Cosine over
+# quantized vectors is scale-free (the per-vector scales cancel), so an
+# int8 store answers cosine ANN with no dequant error beyond the
+# quantization itself.
+
+
+def quantized_embeddings_sql(d: SqlDialect, emb_rel: str = "embeddings") -> str:
+    """The int8 store: (vec_id, label, qvec ARRAY<INT in [-127,127]>,
+    scale DOUBLE) — 4x smaller vector bytes than float32 at 100 TB
+    (the production form writes TINYINT parquet; the logical scheme is
+    what the gate pins)."""
+    if d.name == d.SPARK:
+        ma = (
+            "greatest(array_max(transform(CAST(embedding AS ARRAY<DOUBLE>),"
+            " x -> abs(x))), 1e-12)"
+        )
+        qv = (
+            "transform(CAST(embedding AS ARRAY<DOUBLE>), "
+            "x -> CAST(floor(x * 127 / ma + 0.5) AS INT))"
+        )
+    else:
+        ma = (
+            "greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]),"
+            " x -> abs(x))), 1e-12)"
+        )
+        qv = (
+            "list_transform(CAST(embedding AS DOUBLE[]), "
+            "x -> CAST(floor(x * 127 / ma + 0.5) AS INT))"
+        )
+    return f"""
+    SELECT vec_id, label, {qv} AS qvec, ma / 127 AS scale
+    FROM (SELECT *, {ma} AS ma FROM {emb_rel}) withmax
+    """
+
+
+def dequantized_embeddings_sql(d: SqlDialect, emb_rel: str = "embeddings") -> str:
+    """What the engine reads back from the int8 store: the same
+    (vec_id, label, embedding) relation with quantization error applied
+    — so every float-vector operator runs UNCHANGED over it."""
+    dq = (
+        "transform(qvec, x -> x * scale)" if d.name == d.SPARK
+        else "list_transform(qvec, x -> x * scale)"
+    )
+    return f"""
+    SELECT vec_id, label, {dq} AS embedding
+    FROM ({quantized_embeddings_sql(d, emb_rel)}) quantized
+    """
+
+
+def ann_topk_ivf_quantized_sql(
+    d: SqlDialect, query_vec_id: int = 0, k: int | None = None,
+    emb_rel: str = "embeddings",
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
+) -> str:
+    """IVF top-k where BOTH the index and the scoring read the int8
+    store — :func:`ivf_topk_sql` verbatim over the dequantized
+    relation, so the quantized path exercises the exact operator a
+    float store uses. Recall vs the float store is pytest-pinned
+    (test_ivf_recall); parity of the arithmetic itself is oracle-gated
+    like every other query."""
+    body = ivf_topk_sql(d, query_vec_id, k, "qemb", params).lstrip()
+    assert body.startswith("WITH ")
+    return (
+        f"WITH qemb AS ({dequantized_embeddings_sql(d, emb_rel)}), "
+        + body[len("WITH "):]
+    )

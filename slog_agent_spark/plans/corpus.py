@@ -163,6 +163,9 @@ ann_bruteforce_query, ann_bruteforce_oracle = _sql_query(
 ann_ivf_query, ann_ivf_oracle = _sql_query(
     similarity.ivf_topk_sql, ("embeddings",)
 )
+ann_ivf_quantized_query, ann_ivf_quantized_oracle = _sql_query(
+    similarity.ann_topk_ivf_quantized_sql, ("embeddings",)
+)
 emb_neardup_query, emb_neardup_oracle = _sql_query(
     similarity.embedding_neardup_sql, ("embeddings",)
 )

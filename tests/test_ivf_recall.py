@@ -102,3 +102,30 @@ def test_neardup_ivf_subset_and_recall_on_clustered(con):
     recall = len(trained) / len(exact)
     assert recall >= 0.9, f"trained near-dup pair recall = {recall}"
     assert len(trained) > len(naive)  # k-means lists + multi-assign win
+
+
+def test_quantized_ivf_recall_vs_float():
+    """The int8 store answers the same IVF query with high overlap vs
+    the float store (cosine is scale-free over symmetric quantization,
+    so the only error is the 1/254 resolution): top-10 overlap >= 0.8
+    across several query vectors, exact on most."""
+    from slog_agent_spark.functions.dialect import DUCKDB
+    from slog_agent_spark.operators import similarity as S
+
+    from conftest import SF_DIR
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{SF_DIR}/embeddings.parquet'"
+    )
+    overlaps = []
+    for qid in (0, 7, 23, 61, 99):
+        q = {r[0] for r in con.execute(
+            S.ann_topk_ivf_quantized_sql(DUCKDB, query_vec_id=qid)
+        ).fetchall()}
+        f = {r[0] for r in con.execute(
+            S.ivf_topk_sql(DUCKDB, query_vec_id=qid)
+        ).fetchall()}
+        overlaps.append(len(q & f) / len(f))
+    assert min(overlaps) >= 0.8 and sum(overlaps) / len(overlaps) >= 0.9
