@@ -220,6 +220,8 @@ def run_bench(sf_dir: str, cpus: int, explode: int) -> dict:
                 ("corpus_training_cut", CQ.corpus_training_cut_query),
                 ("events_asof_enrich", CQ.asof_enrich_query),
                 ("events_window_attrib", CQ.window_attrib_query),
+                ("events_funnel", CQ.funnel_query),
+                ("ann_topk_ivf_quantized", CQ.ann_ivf_quantized_query),
             ):
                 best = None
                 for _ in range(max(corpus_repeats, 1)):
