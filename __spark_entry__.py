@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_flags": C.gopher_flags_query,
         "corpus_pii_scan": C.pii_scan_query,
         "corpus_vocab_top": C.vocab_top_query,
+        "corpus_bpe_merges": C.bpe_merges_query,
         "corpus_contamination": C.contamination_query,
         "corpus_boilerplate": C.boilerplate_query,
         "events_asof_enrich": C.asof_enrich_query,
@@ -202,6 +203,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_gopher_flags": C.gopher_flags_oracle(),
         "corpus_pii_scan": C.pii_scan_oracle(),
         "corpus_vocab_top": C.vocab_top_oracle(),
+        "corpus_bpe_merges": C.bpe_merges_oracle(),
         "corpus_contamination": C.contamination_oracle(),
         "corpus_boilerplate": C.boilerplate_oracle(),
         "events_asof_enrich": C.asof_enrich_oracle(),

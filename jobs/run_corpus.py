@@ -45,6 +45,7 @@ DOC_OPS = (
     "doc_gopher_flags",
     "corpus_pii_scan",
     "corpus_vocab_top",
+    "corpus_bpe_merges",
     "corpus_pack_chunks",
     "corpus_mix_sample",
     "corpus_contamination",
@@ -95,6 +96,7 @@ def registry(params=None):
         "doc_gopher_flags": C.gopher_flags_query,
         "corpus_pii_scan": C.pii_scan_query,
         "corpus_vocab_top": C.vocab_top_query,
+        "corpus_bpe_merges": C.bpe_merges_query,
         "corpus_pack_chunks": C.pack_chunks_query,
         "corpus_mix_sample": C.mix_sample_query,
         "corpus_contamination": C.contamination_query,

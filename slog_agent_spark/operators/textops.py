@@ -896,3 +896,110 @@ def boilerplate_sql(
     ),
     {body}
     """
+
+
+# -- BPE merge induction -------------------------------------------------------
+# Real byte-pair-encoding tokenizer training (upgrade of the static
+# bpe_token_estimate): learn the top-K merge rules over the corpus
+# vocabulary. Scale shape: the corpus is touched ONCE (the word-count
+# groupBy); every merge round then runs over the VOCABULARY relation
+# (|distinct words| rows — 10^5-10^7 at web scale, not corpus-sized):
+# adjacent-pair explode → one aggregate → a 1-row global top (the only
+# single-row step) → a broadcast map transform. K rounds = K tiny
+# vocabulary passes, the textbook distributed-BPE decomposition.
+BPE_MERGE_ROUNDS = 10
+
+
+def bpe_words_sql(d: SqlDialect, rel: str = "documents") -> str:
+    """Vocabulary relation: (word, cnt, spaced) where ``spaced`` is the
+    word's symbol sequence as a single-spaced, space-delimited string
+    (' c1 c2 ... ') — the representation every merge round rewrites
+    with one non-overlapping left-to-right replace()."""
+    toks = tokens_expr(d, "text")
+    unnest = f"explode({toks})" if d.name == d.SPARK else f"unnest({toks})"
+    # each symbol carries its OWN leading+trailing space (' a  b  c '):
+    # adjacent pair occurrences are then character-DISJOINT, so one
+    # non-overlapping replace() applies the merge with classic BPE's
+    # greedy left-to-right semantics ([a,a,a,a] -> [aa,aa]; a
+    # shared-single-space repr made replace miss every second
+    # occurrence of an even run — caught by the hypothesis model sweep)
+    chars = d.regexp_replace_all("word", "(.)", " $1 ")
+    return f"""
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+           {chars} AS spaced
+    FROM (SELECT {unnest} AS word FROM {rel}) words
+    WHERE word <> ''
+    GROUP BY word
+    """
+
+
+def bpe_top_pair_sql(d: SqlDialect, words_rel: str) -> str:
+    """The single most frequent adjacent symbol pair over the weighted
+    vocabulary (count DESC, then lexicographic — the deterministic tie
+    rule both engines share). Overlapping occurrences count, as in
+    classic BPE ('a a a' contributes (a,a) twice)."""
+    if d.name == d.SPARK:
+        arr = "split(trim(spaced), ' +')"
+        gen = "explode(sequence(1, size(arr) - 1))"
+        at = "element_at(arr, CAST(i AS INT))"
+        at1 = "element_at(arr, CAST(i + 1 AS INT))"
+    else:
+        arr = "string_split_regex(trim(spaced), ' +')"
+        gen = "unnest(generate_series(1, len(arr) - 1))"
+        at = "arr[i]"
+        at1 = "arr[i + 1]"
+    return f"""
+    SELECT left_sym, right_sym, CAST(sum(cnt) AS BIGINT) AS pair_count
+    FROM (
+      SELECT {at} AS left_sym, {at1} AS right_sym, cnt
+      FROM (
+        SELECT cnt, arr, {gen} AS i
+        FROM (
+          -- single-symbol words have no pairs; filtering them also
+          -- guards Spark's sequence(1, 0) = [1, 0] (DESCENDING, not
+          -- empty like DuckDB's generate_series)
+          SELECT cnt, {arr} AS arr FROM {words_rel}
+        ) witharr
+        WHERE {"size(arr)" if d.name == d.SPARK else "len(arr)"} >= 2
+      ) positions
+    ) pairs
+    GROUP BY left_sym, right_sym
+    ORDER BY pair_count DESC, left_sym, right_sym
+    LIMIT 1
+    """
+
+
+def bpe_merges_sql(
+    d: SqlDialect, rel: str = "documents",
+    rounds: int = BPE_MERGE_ROUNDS,
+) -> str:
+    """Fixed-``rounds`` single-SQL form (the DuckDB oracle, like the
+    connected-components fixed-iteration twin): w0..wK chained CTEs,
+    each round's top pair a LEFT JOIN ON TRUE scalar (so a round with
+    no pairs left is a no-op, matching the iterative runner's early
+    break), merges emitted only for non-empty rounds.
+
+    replace(' l r ' -> ' lr ') is non-overlapping left-to-right in both
+    engines — exactly BPE's merge application order."""
+    parts = [f"w0 AS ({bpe_words_sql(d, rel)})"]
+    selects = []
+    for k in range(1, rounds + 1):
+        parts.append(f"t{k} AS ({bpe_top_pair_sql(d, f'w{k - 1}')})")
+        parts.append(f"""w{k} AS (
+          SELECT word, cnt,
+                 CASE WHEN t.left_sym IS NULL THEN w.spaced
+                      ELSE replace(w.spaced,
+                             concat(' ', t.left_sym, '  ', t.right_sym, ' '),
+                             concat(' ', t.left_sym, t.right_sym, ' '))
+                 END AS spaced
+          FROM w{k - 1} w LEFT JOIN t{k} t ON TRUE
+        )""")
+        selects.append(
+            f"SELECT {k} AS merge_round, left_sym, right_sym, "
+            f"concat(left_sym, right_sym) AS merged, pair_count FROM t{k}"
+        )
+    return (
+        "WITH " + ", ".join(parts) + " "
+        + " UNION ALL ".join(selects)
+        + " ORDER BY merge_round"
+    )

@@ -358,6 +358,53 @@ corpus_training_cut_query, corpus_training_cut_oracle = _staged_query(
 )
 
 
+def bpe_merges_query(
+    spark: SparkSession, sf_dir: str,
+    rounds: int = textops.BPE_MERGE_ROUNDS,
+) -> DataFrame:
+    """Iterative Spark runner for BPE merge induction: the corpus is
+    reduced to the vocabulary ONCE (word-count groupBy, materialized),
+    then each round runs over the vocabulary relation — adjacent-pair
+    aggregate, a one-row global top (collected: it IS the merge rule),
+    and a broadcast replace() rewriting the symbol strings; early break
+    when no pairs remain (value-identical to the fixed-round oracle's
+    no-op rounds, which emit nothing). The same iterative-algorithm
+    shape as dedup_groups_query: a Python loop of materialized
+    generations, because an inlined w{k} chain re-executes the whole
+    prefix per round in both engines."""
+    from ..functions.dialect import SqlDialect as _SD
+
+    _register(spark, sf_dir, "documents")
+    words = spark.sql(textops.bpe_words_sql(SPARK)).localCheckpoint()
+    words.createOrReplaceTempView("bpe_words")
+    merges = []
+    for k in range(1, rounds + 1):
+        top = spark.sql(
+            textops.bpe_top_pair_sql(SPARK, "bpe_words")
+        ).collect()
+        if not top:
+            break
+        left, right, cnt = top[0]
+        merges.append((k, left, right, left + right, cnt))
+        pat, rep = _SD.SPARK, None  # noqa: F841 (readability anchors)
+        words = spark.sql(
+            "SELECT word, cnt, replace(spaced, "
+            f"{SPARK.lit(' ' + left + '  ' + right + ' ')}, "
+            f"{SPARK.lit(' ' + left + right + ' ')}) AS spaced "
+            "FROM bpe_words"
+        ).localCheckpoint()
+        words.createOrReplaceTempView("bpe_words")
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, left_sym string, right_sym string, "
+        "merged string, pair_count bigint",
+    )
+
+
+def bpe_merges_oracle() -> str:
+    return textops.bpe_merges_sql(DUCKDB)
+
+
 def build_corpus_queries(params):
     """Param-bound (run, oracle) pairs for every corpus operator with
     configurable sketch/index sizing (plans/corpus_config.CorpusParams

@@ -197,3 +197,64 @@ def test_funnel_matches_bruteforce(rows, horizon):
             prev = min(cand) if cand else None
             want.append(prev if prev is not None else -1)
         assert got[uid] == (*want, all(w != -1 for w in want)), (uid, want)
+
+
+# tiny alphabet, short words: dense pair collisions and ties
+bpe_docs_strategy = st.lists(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=5), min_size=1,
+        max_size=8,
+    ).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _model_bpe(texts, rounds):
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                vocab[w] += 1
+    words = {w: (list(w), c) for w, c in vocab.items()}
+    merges = []
+    for k in range(1, rounds + 1):
+        pairs = Counter()
+        for syms, c in words.values():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], [-ord(ch) for ch in kv[0][0]], [-ord(ch) for ch in kv[0][1]]))
+        # tie rule: count DESC then lexicographic ASC on (left, right)
+        top_count = max(pairs.values())
+        cands = sorted(p for p, c in pairs.items() if c == top_count)
+        left, right = cands[0]
+        merges.append((k, left, right, left + right, top_count))
+        for w, (syms, c) in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = (out, c)
+    return merges
+
+
+@settings(max_examples=40, deadline=None)
+@given(bpe_docs_strategy, st.integers(1, 6))
+def test_bpe_merges_match_reference_model(texts, rounds):
+    from slog_agent_spark.operators.textops import bpe_merges_sql
+
+    vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+    rel = f"(VALUES {vals}) docs(doc_id, text)"
+    got = duckdb.connect().execute(
+        bpe_merges_sql(DUCKDB, rel=rel, rounds=rounds)
+    ).fetchall()
+    assert got == _model_bpe(texts, rounds)
