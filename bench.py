@@ -222,6 +222,7 @@ def run_bench(sf_dir: str, cpus: int, explode: int) -> dict:
                 ("events_window_attrib", CQ.window_attrib_query),
                 ("events_funnel", CQ.funnel_query),
                 ("ann_topk_ivf_quantized", CQ.ann_ivf_quantized_query),
+                ("corpus_bpe_merges", CQ.bpe_merges_query),
             ):
                 best = None
                 for _ in range(max(corpus_repeats, 1)):
