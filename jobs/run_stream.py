@@ -7,9 +7,10 @@ Usage (cluster):
         --input <transcript parquet dir (files appear over time)> \\
         --output <sink root> --checkpoint <streaming checkpoint root> \\
         [--mode pipeline|wire|neardup|docdedup|trainingcut|boilerplate|
-                attrib|ann-train|ann-ingest|ann-neardup|sessions|dedup|
-                counters|
-                {events,neardup,docdedup,ann,trainingcut,boilerplate}-compact]
+                simhash|attrib|ann-train|ann-ingest|ann-neardup|sessions|
+                dedup|counters|
+                {events,neardup,docdedup,ann,trainingcut,boilerplate,
+                 simhash}-compact]
         [--salts N] [--centroids PATH] [--compact-mode incremental|full]
         [--drain]
 
@@ -74,6 +75,12 @@ watermarked, pipeline/wire/neardup are foreachBatch exactly-once):
                does not retro-cut earlier docs); frequency rollup equals
                the batch operator's under any order
     boilerplate-compact  fold the freq/cut stores (between drains)
+    simhash    incremental banded-Hamming SimHash near-dup over a
+               DOCUMENT stream — same store discipline as the MinHash
+               twin, with the verify fetch reduced to the candidates'
+               stored sketches (a few ints per candidate); drained pair
+               union equals the batch dedup_simhash_neardup
+    simhash-compact  fold the sketch/band/pair stores (between drains)
     attrib     bounded-window attribution over an EVENT stream via
                Spark's native stream-stream interval join (watermarked
                self-join, state bounded by the horizon); pair set equal
@@ -104,7 +111,8 @@ def main(argv: list[str]) -> int:
                              "ann-neardup", "ann-compact", "docdedup",
                              "docdedup-compact", "trainingcut",
                              "trainingcut-compact", "boilerplate",
-                             "boilerplate-compact", "attrib", "sessions",
+                             "boilerplate-compact", "simhash", "simhash-compact",
+                             "attrib", "sessions",
                              "dedup", "counters"])
     ap.add_argument("--salts", type=int, default=1,
                     help="wire mode: sub-chunkers per hot tag")
@@ -185,6 +193,11 @@ def main(argv: list[str]) -> int:
                 spark, args.input, args.output, args.checkpoint
             )
             return 0
+        if args.mode == "simhash":
+            S.run_stream_simhash(
+                spark, args.input, args.output, args.checkpoint
+            )
+            return 0
         if args.mode == "boilerplate":
             S.run_stream_boilerplate(
                 spark, args.input, args.output, args.checkpoint
@@ -197,7 +210,7 @@ def main(argv: list[str]) -> int:
             return 0
         if args.mode in ("neardup-compact", "events-compact", "ann-compact",
                          "docdedup-compact", "trainingcut-compact",
-                         "boilerplate-compact"):
+                         "boilerplate-compact", "simhash-compact"):
             # between drains (never concurrently with the stream): fold
             # committed per-batch store partitions into the bounded base
             if args.mode == "ann-compact":
@@ -211,6 +224,7 @@ def main(argv: list[str]) -> int:
                     "docdedup-compact": S.compact_docdedup_store,
                     "trainingcut-compact": S.compact_training_cut_store,
                     "boilerplate-compact": S.compact_boilerplate_store,
+                    "simhash-compact": S.compact_simhash_store,
                 }[args.mode]
             report = compact(spark, args.output, mode=args.compact_mode)
             for table, r in report.items():

@@ -1424,3 +1424,220 @@ def run_stream_boilerplate(
         .start()
     )
     q.awaitTermination()
+
+
+# -- incremental SimHash near-dup ----------------------------------------------
+SIMHASH_BAND_BUCKETS = 64
+SIMHASH_DOC_BUCKETS = 64
+
+
+def simhash_batch_handler(
+    store_dir: str,
+    k: int | None = None,
+    stats: list | None = None,
+):
+    """foreachBatch handler for INCREMENTAL banded-Hamming SimHash
+    near-dup — the streaming twin of the batch ``dedup_simhash_neardup``
+    query, completing the dedup family's incremental matrix (exact,
+    MinHash-LSH, embedding-cosine, SimHash).
+
+    Same store discipline as the MinHash handler: each batch sketches
+    its documents once, joins its band rows against the band store
+    (partition-pruned to the buckets the batch touches, excluding the
+    current batch_id), verifies candidates by Hamming distance over the
+    stored SKETCHES (pruned to the candidates' doc buckets — SimHash
+    needs no shingle sets at verify time, so the fetch is a few ints
+    per candidate), and appends (sketches, bands, pairs) partitioned by
+    batch_id with dynamic overwrite. Invariant (tested): the drained
+    pair union equals the batch pair set — each unordered pair exactly
+    once, in its later document's batch.
+    """
+    from ..functions.dialect import SPARK as SPARK_D
+    from ..operators import dedup
+    from ..sinks.writers import write_table
+
+    k = dedup.SIMHASH_HAMMING_K if k is None else k
+    bands = dedup.SIMHASH_BANDS
+    band_names = [f"sb{b}" for b in range(bands)]
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch_df.sparkSession
+        batch_df.select("doc_id", "text").createOrReplaceTempView(
+            "sh_batch_docs"
+        )
+        new_sk = spark.sql(
+            dedup.simhash_sketches_sql(SPARK_D, "sh_batch_docs")
+        ).localCheckpoint()
+        new_sk.createOrReplaceTempView("sh_new_sk")
+        band_rows = " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_key, '{b}' AS band_id "
+            "FROM sh_new_sk"
+            for b in band_names
+        )
+        new_banded = spark.sql(band_rows).localCheckpoint()
+        new_banded.createOrReplaceTempView("sh_new_banded")
+
+        def read_store(table: str):
+            path = f"{store_dir}/{table}"
+            _heal_swapped_dir(path)
+            try:
+                return spark.read.parquet(path)
+            except AnalysisException:
+                return None
+
+        band_bkt = F.pmod(
+            F.xxhash64(F.col("band_id"), F.col("band_key")),
+            F.lit(SIMHASH_BAND_BUCKETS),
+        ).cast("int")
+        touched = [
+            r["b"]
+            for r in new_banded.select(band_bkt.alias("b"))
+            .distinct().collect()
+        ]
+        bands_store = read_store("bands")
+        n_band_scan = 0
+        if bands_store is not None:
+            pruned = bands_store.where(
+                (F.col("batch_id").cast("long") != batch_id)
+                & F.col("band_bkt").cast("int").isin(touched)
+            ).select("doc_id", "band_key", "band_id")
+            pruned.createOrReplaceTempView("sh_store_banded")
+            store_rows = (
+                "UNION ALL SELECT doc_id, band_key, band_id "
+                "FROM sh_store_banded"
+            )
+            if stats is not None:
+                n_band_scan = pruned.count()
+        else:
+            store_rows = ""
+        cand = spark.sql(f"""
+        WITH allb AS (
+          SELECT doc_id, band_key, band_id FROM sh_new_banded
+          {store_rows}
+        )
+        SELECT DISTINCT least(n.doc_id, o.doc_id) AS doc_a,
+                        greatest(n.doc_id, o.doc_id) AS doc_b
+        FROM sh_new_banded n
+        JOIN allb o ON n.band_id = o.band_id
+                   AND n.band_key = o.band_key
+                   AND n.doc_id <> o.doc_id
+        """).localCheckpoint()
+        cand.createOrReplaceTempView("sh_cand")
+
+        old_ids = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .union(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+            .join(new_sk.select("doc_id"), "doc_id", "left_anti")
+        ).localCheckpoint()
+        doc_bkts = [
+            r["b"]
+            for r in old_ids.select(
+                _doc_bucket(SIMHASH_DOC_BUCKETS).alias("b")
+            ).distinct().collect()
+        ]
+        sk_store = read_store("sketches") if doc_bkts else None
+        n_sk_fetch = 0
+        if sk_store is not None:
+            fetched = (
+                sk_store.where(
+                    (F.col("batch_id").cast("long") != batch_id)
+                    & F.col("doc_bkt").cast("int").isin(doc_bkts)
+                )
+                .join(old_ids, "doc_id")
+                .select("doc_id", *band_names)
+            )
+            fetched.createOrReplaceTempView("sh_store_sk_needed")
+            store_sk_rows = (
+                f"UNION ALL SELECT doc_id, {', '.join(band_names)} "
+                "FROM sh_store_sk_needed"
+            )
+            if stats is not None:
+                n_sk_fetch = fetched.count()
+        else:
+            store_sk_rows = ""
+
+        hamming = " + ".join(
+            SPARK_D.bit_count(SPARK_D.xor(f"a.{b}", f"b.{b}"))
+            for b in band_names
+        )
+        pairs = spark.sql(f"""
+        WITH sk_all AS (
+          SELECT doc_id, {', '.join(band_names)} FROM sh_new_sk
+          {store_sk_rows}
+        )
+        SELECT doc_a, doc_b, hamming FROM (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(({hamming}) AS INT) AS hamming{SPARK_D.fence_field()}
+          FROM sh_cand c
+          JOIN sk_all a ON a.doc_id = c.doc_a
+          JOIN sk_all b ON b.doc_id = c.doc_b
+        ) scored WHERE {SPARK_D.fence_pred()}hamming <= {k}
+        """)
+
+        def commit(df: DataFrame, path: str, extra_parts=()) -> None:
+            if extra_parts:
+                df = df.repartition(*[F.col(c) for c in extra_parts])
+            write_table(
+                df.withColumn("batch_id", F.lit(batch_id)),
+                path,
+                partition_by=["batch_id", *extra_parts],
+                mode="overwrite_partitions",
+            )
+
+        commit(pairs, f"{store_dir}/pairs")
+        commit(
+            new_sk.withColumn("doc_bkt", _doc_bucket(SIMHASH_DOC_BUCKETS)),
+            f"{store_dir}/sketches", ("doc_bkt",),
+        )
+        commit(
+            new_banded.withColumn("band_bkt", band_bkt),
+            f"{store_dir}/bands", ("band_bkt",),
+        )
+        if stats is not None:
+            stats.append({
+                "batch_id": batch_id,
+                "n_new_docs": new_sk.count(),
+                "store_band_rows_scanned": n_band_scan,
+                "store_sketch_rows_fetched": n_sk_fetch,
+            })
+
+    return handle
+
+
+def compact_simhash_store(
+    spark: SparkSession, store_dir: str, mode: str = "incremental",
+) -> dict:
+    report = {}
+    for table, secondary, n_tasks, sort in (
+        ("sketches", "doc_bkt", SIMHASH_DOC_BUCKETS, ["doc_id"]),
+        ("bands", "band_bkt", SIMHASH_BAND_BUCKETS, ["band_id", "band_key"]),
+        ("pairs", None, None, ["doc_a", "doc_b"]),
+    ):
+        r = _store.fold_batch_partitions(
+            spark, f"{store_dir}/{table}",
+            secondary=secondary, n_tasks=n_tasks, sort_keys=sort, mode=mode,
+        )
+        if r is not None:
+            report[table] = r
+    return report
+
+
+def run_stream_simhash(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain a document stream through incremental SimHash near-dup
+    (availableNow trigger)."""
+    q = (
+        stream_documents(spark, input_dir)
+        .writeStream.foreachBatch(simhash_batch_handler(store_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -943,3 +943,47 @@ def test_streaming_boilerplate_first_arrival_and_freq_rollup(spark):
             for r in boilerplate_freq_rollup(spark, f"{work}/store").collect()
         }
         assert after == freq
+
+
+def test_streaming_simhash_equals_batch(spark, sf_dir):
+    """Incremental SimHash: after draining the documents corpus in
+    micro-batches, the accumulated pair store equals the batch
+    banded-Hamming pair set — every pair exactly once, same Hamming
+    values; replaying the last batch changes nothing."""
+    from slog_agent_spark.plans import corpus as C
+    from slog_agent_spark.streaming.stream import (
+        compact_simhash_store,
+        simhash_batch_handler,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    splits = [
+        docs.where(f"pmod(hash(doc_id), 3) = {i}") for i in range(3)
+    ]
+    with tempfile.TemporaryDirectory() as work:
+        stats: list = []
+        handler = simhash_batch_handler(f"{work}/store", stats=stats)
+        for i, part in enumerate(splits):
+            handler(part, i)
+        read_pairs = lambda: {  # noqa: E731
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in spark.read.parquet(f"{work}/store/pairs").collect()
+        }
+        got = read_pairs()
+        want = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in C.simhash_neardup_query(spark, sf_dir).collect()
+        }
+        assert got == want and got
+        # sketch fetches stay candidate-bounded
+        assert all(
+            s["store_sketch_rows_fetched"] <= 2 * len(got) + 50
+            for s in stats
+        )
+        handler(splits[-1], 2)  # replay
+        assert read_pairs() == got
+        rep = compact_simhash_store(spark, f"{work}/store")
+        assert "sketches" in rep and "bands" in rep
+        assert read_pairs() == got
