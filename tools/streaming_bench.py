@@ -95,6 +95,25 @@ def main(argv):
             rep,
         ))
 
+        # ---- SimHash near-dup ---------------------------------------------
+        walls, stats = run_store(
+            "simhash",
+            lambda d, s: S.simhash_batch_handler(f"{d}/sh", stats=s),
+            doc_parts, spark, work,
+        )
+        rep = S.compact_simhash_store(spark, f"{work}/sh")
+        sections.append((
+            "Incremental SimHash near-dup",
+            walls, [
+                (s["batch_id"], s["n_new_docs"],
+                 s["store_band_rows_scanned"],
+                 s["store_sketch_rows_fetched"]) for s in stats
+            ],
+            "batch | new docs | band rows scanned (bucket-pruned) | "
+            "sketch rows fetched (candidate-bounded)",
+            rep,
+        ))
+
         # ---- boilerplate shingle-DF store --------------------------------
         walls, stats = run_store(
             "boilerplate",
