@@ -513,11 +513,51 @@ def compile_chain(
 # Appliers
 # ---------------------------------------------------------------------------
 
+# Whole-stage-codegen span control for long chains. One fused codegen
+# function over the WHOLE flagship chain (61 projection layers) crosses
+# a HotSpot JIT cliff: every generated method still compiles (no Janino
+# failure, bytecode under every configured limit — verified by sweeping
+# hugeMethodLimit/methodSplitThreshold), but past ~37 stacked layers the
+# fused processNext stops being optimized effectively and per-row cost
+# jumps ~3.5x — measured at 20M rows x local[32]: 28.7s fused vs 7.3s
+# with ONE span break (guide §1: measure; §7.2: read the plan). The
+# break is an `observe` barrier: CollectMetricsExec does not support
+# codegen, so Spark materializes the boundary row once and starts a
+# fresh WholeStageCodegen span above it; the metric itself is one count
+# per partition (no rows changed, no shuffle). More breaks are WORSE
+# (each boundary pays an UnsafeRow materialization: 2 breaks 8.9s, 5
+# breaks 11.0s), so exactly one break, placed at the 60% point — the
+# measured sweet spot (position sweep at 20M rows: 36/61 gives full
+# 7.3s with the subset-projecting agg consumers unregressed; midpoint
+# 30/61 regressed the null-sink agg 4.6→6.6s). Short chains (tests,
+# small configs) keep the single fused span: the threshold sits safely
+# below the flagship's 61 layers and above every other compiled chain
+# in the repo. Scale-neutral: the cliff is per-generated-method, so the
+# same break is right on any executor count or data size past JIT
+# warmup (~10^5 rows/core).
+CODEGEN_SPAN_MAX_LAYERS = 40
+
+_span_seq = 0
+
+
 def apply_chain_spark(df, chain: CompiledChain):
-    """Apply the layer stack to a Spark DataFrame (stacked withColumns)."""
+    """Apply the layer stack to a Spark DataFrame (stacked withColumns).
+
+    Long chains get one whole-stage-codegen span break at the 60% layer
+    (see CODEGEN_SPAN_MAX_LAYERS) — value-identical: `observe` adds a
+    per-partition count metric, never changes rows.
+    """
     from pyspark.sql import functions as F
 
-    for layer in chain.layers:
+    global _span_seq
+    n = len(chain.layers)
+    break_at = (3 * n) // 5 if n > CODEGEN_SPAN_MAX_LAYERS else -1
+    for i, layer in enumerate(chain.layers):
+        if i == break_at:
+            _span_seq += 1
+            df = df.observe(
+                f"__chain_span_{_span_seq}", F.count(F.lit(1))
+            )
         df = df.withColumns({k: F.expr(e) for k, e in layer.items()})
     return df
 
