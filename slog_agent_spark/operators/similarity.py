@@ -15,7 +15,7 @@ engines and rounded, keeping the DuckDB oracle hash-identical.
 
 from __future__ import annotations
 
-from ..functions.dialect import SqlDialect
+from ..functions.dialect import SPARK as SPARK_DIALECT, SqlDialect
 from ..plans.corpus_config import CorpusParams, DEFAULT_CORPUS_PARAMS
 
 # Fixture-scale defaults live in plans/corpus_config.CorpusParams (the
@@ -63,7 +63,18 @@ def cosine_prenorm_expr(d: SqlDialect, a: str, b: str, na: str, nb: str) -> str:
 
 def emb_norms_sql(d: SqlDialect, emb_rel: str = "embeddings") -> str:
     """Per-vector norm relation: (vec_id, embedding, nrm) — the staged
-    O(n) pass that lets every pair verify skip recomputing norms."""
+    O(n) pass that lets every pair verify skip recomputing norms.
+
+    Spark additionally pre-casts the vector to ARRAY<DOUBLE> here, so
+    the per-PAIR dot's CAST becomes a no-op (SimplifyCasts removes it)
+    instead of allocating a fresh double array per pair side — same
+    value (float→double is exact), 2 fewer array materializations per
+    candidate pair in the verify stage."""
+    if d.name == d.SPARK:
+        return (
+            f"SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS embedding, "
+            f"{norm_expr(d, 'embedding')} AS nrm FROM {emb_rel}"
+        )
     return (
         f"SELECT vec_id, embedding, {norm_expr(d, 'embedding')} AS nrm "
         f"FROM {emb_rel}"
@@ -102,8 +113,26 @@ def ivf_assign_sql(
 
     Centroids = the first ``params.ivf_centroids`` vectors
     (deterministic, shared with the oracle). The centroid side is tiny →
-    broadcast join at scale.
+    broadcast join at scale. Spark additionally carries the winning
+    cosine through the same min_by struct (field order (nc, cid, cos)
+    keeps the comparison identical to ORDER BY cos DESC, centroid_id).
     """
+    if d.name == d.SPARK:
+        cents = (
+            f"(SELECT vec_id AS centroid_id, embedding AS emb "
+            f"FROM {emb_rel} WHERE vec_id < {params.ivf_centroids})"
+        )
+        e_side, c_side, cos = _spark_prenorm_sides(emb_rel, cents)
+        return f"""
+      SELECT vec_id, picked.cid AS centroid_id, picked.cos AS cos_c FROM (
+        SELECT vec_id,
+               min_by(named_struct('cid', centroid_id, 'cos', cos_c),
+                      named_struct('nc', -cos_c, 'cid', centroid_id))
+                 AS picked
+        FROM (SELECT e.vec_id, c.centroid_id, {cos} AS cos_c
+              FROM {e_side} CROSS JOIN {c_side}) scored
+        GROUP BY vec_id
+      ) agg"""
     cos = cosine_expr(d, "e.embedding", "c.embedding")
     return f"""
     WITH c AS (SELECT vec_id AS centroid_id, embedding
@@ -205,9 +234,25 @@ def kmeans_centroids_ctes(
     # and can collapse the whole sample into one or two natural clusters;
     # hashing makes both the sample and the seed pick pseudo-random while
     # staying engine-portable and deterministic.
+    if d.name == d.SPARK:
+        # prenormalized sample (sn hoisted once per sample vector); the
+        # per-iteration argmax is a min_by aggregate over the broadcast
+        # cross join instead of a row_number window — shuffles |sample|
+        # aggregated rows per round, not |sample| x |centroids| window
+        # rows, and each cosine pays one dot (norms hoisted both sides).
+        # Same selection/tie rule, same 4dp-rounded cosine arithmetic.
+        samp_sql = (
+            f"samp AS (SELECT vec_id, CAST(embedding AS {dbl}) AS emb, "
+            f"{norm_expr(d, 'embedding')} AS sn "
+            f"FROM {emb_rel} WHERE ({vid_hash}) % {sample_mod} = 0)"
+        )
+    else:
+        samp_sql = (
+            f"samp AS (SELECT vec_id, CAST(embedding AS {dbl}) AS emb "
+            f"FROM {emb_rel} WHERE ({vid_hash}) % {sample_mod} = 0)"
+        )
     parts = [
-        f"samp AS (SELECT vec_id, CAST(embedding AS {dbl}) AS emb "
-        f"FROM {emb_rel} WHERE ({vid_hash}) % {sample_mod} = 0)",
+        samp_sql,
         f"c0 AS (SELECT vec_id AS centroid_id, emb FROM ("
         f"SELECT vec_id, emb FROM samp "
         f"ORDER BY {d.md5(d.to_string('vec_id'))}, vec_id "
@@ -216,13 +261,28 @@ def kmeans_centroids_ctes(
     prev = "c0"
     for t in range(1, iters + 1):
         cos = cosine_expr(d, "s.emb", "c.emb")
-        parts.append(
-            f"a{t} AS (SELECT vec_id, centroid_id FROM ("
-            f"SELECT s.vec_id, c.centroid_id, "
-            f"row_number() OVER (PARTITION BY s.vec_id "
-            f"ORDER BY {cos} DESC, c.centroid_id) AS rn "
-            f"FROM samp s CROSS JOIN {prev} c) x WHERE rn = 1)"
-        )
+        if d.name == d.SPARK:
+            pcos = (
+                f"round({dot_expr(d, 's.emb', 'c.emb')} / "
+                f"greatest(s.sn * c.cn, 1e-12), 4)"
+            )
+            parts.append(
+                f"a{t} AS (SELECT vec_id, "
+                f"min_by(centroid_id, named_struct('nc', -cos_c, "
+                f"'cid', centroid_id)) AS centroid_id FROM ("
+                f"SELECT s.vec_id, c.centroid_id, {pcos} AS cos_c "
+                f"FROM samp s CROSS JOIN (SELECT centroid_id, emb, "
+                f"{norm_expr(d, 'emb')} AS cn FROM {prev}) c) scored "
+                f"GROUP BY vec_id)"
+            )
+        else:
+            parts.append(
+                f"a{t} AS (SELECT vec_id, centroid_id FROM ("
+                f"SELECT s.vec_id, c.centroid_id, "
+                f"row_number() OVER (PARTITION BY s.vec_id "
+                f"ORDER BY {cos} DESC, c.centroid_id) AS rn "
+                f"FROM samp s CROSS JOIN {prev} c) x WHERE rn = 1)"
+            )
         if d.name == d.SPARK:
             # Bucket-wise VECTOR mean, no per-dimension explode: the old
             # d{t} stage unnested sample × dims rows through a
@@ -333,16 +393,20 @@ def ann_ivf_trained_sql(
         d, "e.embedding", "q.embedding", norm_expr(d, "e.embedding"), "q.qn"
     )
     cos_probe = cosine_expr(d, "c.emb", "q.embedding")
-    return f"""
-    {prelude}
-    assigned AS (
+    if d.name == d.SPARK:
+        assigned_body = spark_argmax_assign_sql(emb_rel, cents)
+    else:
+        assigned_body = f"""
       SELECT vec_id, centroid_id FROM (
         SELECT e.vec_id, c.centroid_id,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {cos_assign} DESC, c.centroid_id) AS rn
         FROM {emb_rel} e CROSS JOIN {cents} c
       ) x WHERE rn = 1
-    ),
+    """
+    return f"""
+    {prelude}
+    assigned AS ({assigned_body}),
     q AS (SELECT embedding, {norm_expr(d, "embedding")} AS qn
           FROM {emb_rel} WHERE vec_id = {query_vec_id}),
     probe_set AS (
@@ -377,6 +441,19 @@ def embedding_neardup_sql(
     cos = cosine_prenorm_expr(
         d, "ea.embedding", "eb.embedding", "ea.nrm", "eb.nrm"
     )
+    if d.name == d.SPARK:
+        # fenced cut — see neardup_pairs_from_assigned_sql
+        return f"""
+    WITH assigned AS ({assign}),
+    norms AS ({emb_norms_sql(d, emb_rel)})
+    SELECT vec_a, vec_b, cosine FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine{d.fence_field()}
+      FROM assigned a
+      JOIN assigned b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      JOIN norms ea ON ea.vec_id = a.vec_id
+      JOIN norms eb ON eb.vec_id = b.vec_id
+    ) verified WHERE {d.fence_pred()}cosine >= {threshold}
+    """
     return f"""
     WITH assigned AS ({assign}),
     norms AS ({emb_norms_sql(d, emb_rel)})
@@ -403,6 +480,16 @@ def embedding_neardup_exact_sql(
     cos = cosine_prenorm_expr(
         d, "ea.embedding", "eb.embedding", "ea.nrm", "eb.nrm"
     )
+    if d.name == d.SPARK:
+        # fenced cut — see neardup_pairs_from_assigned_sql
+        return f"""
+    WITH norms AS ({emb_norms_sql(d, emb_rel)})
+    SELECT vec_a, vec_b, cosine FROM (
+      SELECT ea.vec_id AS vec_a, eb.vec_id AS vec_b, {cos} AS cosine{d.fence_field()}
+      FROM norms ea
+      JOIN norms eb ON ea.vec_id < eb.vec_id
+    ) verified WHERE {d.fence_pred()}cosine >= {threshold}
+    """
     return f"""
     WITH norms AS ({emb_norms_sql(d, emb_rel)})
     SELECT ea.vec_id AS vec_a, eb.vec_id AS vec_b, {cos} AS cosine
@@ -451,14 +538,85 @@ def embedding_neardup_trained_sql(
     )
 
 
+def _spark_prenorm_sides(emb_rel: str, cents_rel: str,
+                         vec_col: str = "embedding") -> tuple[str, str, str]:
+    """Spark-side prenormalized (vector side, centroid side, cosine)
+    for assignment joins: hoists BOTH norms and the float→double cast to
+    per-relation projections, so the per-(vector, centroid) work is one
+    dot + one divide instead of three array aggregates + two casts.
+    Arithmetic is bit-identical to cosine_expr (same dot, same
+    greatest(en*cn, 1e-12), same 4dp round)."""
+    d = SPARK_DIALECT
+    e_side = (
+        f"(SELECT vec_id, CAST({vec_col} AS ARRAY<DOUBLE>) AS emb, "
+        f"{norm_expr(d, vec_col)} AS en FROM {emb_rel}) e"
+    )
+    c_side = (
+        f"(SELECT centroid_id, CAST(emb AS ARRAY<DOUBLE>) AS emb, "
+        f"{norm_expr(d, 'emb')} AS cn FROM {cents_rel}) c"
+    )
+    cos = (
+        f"round({dot_expr(d, 'e.emb', 'c.emb')} / "
+        f"greatest(e.en * c.cn, 1e-12), 4)"
+    )
+    return e_side, c_side, cos
+
+
+def spark_topr_assign_sql(
+    emb_rel: str, cents_rel: str, assign_r: int,
+    vec_col: str = "embedding",
+) -> str:
+    """Spark-only top-r assignment WITHOUT the window-over-cross-join:
+    the r closest centroids per vector via one aggregation over the
+    broadcast nested-loop join — collect the (−cos, centroid) structs
+    per vector (map-side partial, the C rows of a vector never leave
+    their scan partition before reduction), array_sort, slice r,
+    explode. Same selection and tie rule as the row_number form
+    (ORDER BY cos DESC, centroid_id ≡ ascending (−cos, centroid_id);
+    IEEE negation is order-reversing, signed zeros included), but the
+    shuffle carries |vectors| aggregated rows instead of
+    |vectors|×|centroids| window rows, and each cosine costs one dot
+    (norms hoisted per side) instead of three array aggregates."""
+    e_side, c_side, cos = _spark_prenorm_sides(emb_rel, cents_rel, vec_col)
+    return f"""
+      SELECT vec_id, s.cid AS centroid_id FROM (
+        SELECT vec_id,
+               slice(array_sort(collect_list(
+                 named_struct('nc', -cos_c, 'cid', centroid_id))),
+                 1, {assign_r}) AS top
+        FROM (SELECT e.vec_id, c.centroid_id, {cos} AS cos_c
+              FROM {e_side} CROSS JOIN {c_side}) scored
+        GROUP BY vec_id
+      ) t LATERAL VIEW explode(t.top) x AS s"""
+
+
+def spark_argmax_assign_sql(
+    emb_rel: str, cents_rel: str, vec_col: str = "embedding",
+) -> str:
+    """Spark-only argmax assignment (top-1): min_by over the same
+    (−cos, centroid_id) struct — no collect_list buffer at all."""
+    e_side, c_side, cos = _spark_prenorm_sides(emb_rel, cents_rel, vec_col)
+    return f"""
+      SELECT vec_id,
+             min_by(centroid_id,
+                    named_struct('nc', -cos_c, 'cid', centroid_id))
+               AS centroid_id
+      FROM (SELECT e.vec_id, c.centroid_id, {cos} AS cos_c
+            FROM {e_side} CROSS JOIN {c_side}) scored
+      GROUP BY vec_id"""
+
+
 def ivf_multi_assign_sql(
     d: SqlDialect, emb_rel: str, cents_rel: str, assign_r: int = 2
 ) -> str:
     """Multi-assignment stage: (vec_id, centroid_id) for each vector's
     ``assign_r`` closest centroids. Staged separately so the Spark
-    runner can materialize it: the pair join reads it from BOTH sides,
-    and the row_number window over the emb×centroid cross join is the
-    assignment's whole cost."""
+    runner can materialize it: the pair join reads it from BOTH sides.
+    Spark uses the aggregate top-r form (see spark_topr_assign_sql);
+    the oracle keeps the row_number-over-cross-join text."""
+    if d.name == d.SPARK:
+        return spark_topr_assign_sql(emb_rel, cents_rel, assign_r,
+                                     vec_col="embedding")
     cos_assign = cosine_expr(d, "e.embedding", "c.emb")
     return f"""
       SELECT vec_id, centroid_id FROM (
@@ -479,6 +637,26 @@ def neardup_pairs_from_assigned_sql(
     cos = cosine_prenorm_expr(
         d, "ea.embedding", "eb.embedding", "ea.nrm", "eb.nrm"
     )
+    if d.name == d.SPARK:
+        # fenced threshold cut (dialect.fence_field): without it the
+        # WHERE re-evaluates the pair dot below the projection (Filter
+        # predicates get no subexpression elimination) — 2 dots per
+        # candidate pair instead of 1, measured ~2x the verify stage at
+        # 48M candidates. DuckDB keeps the original single-SELECT text
+        # (its optimizer CSEs the shared aggregate).
+        return f"""
+    SELECT vec_a, vec_b, cosine FROM (
+      SELECT c.vec_a, c.vec_b, {cos} AS cosine{d.fence_field()}
+      FROM (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM {assigned_rel} a
+        JOIN {assigned_rel} b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      ) c
+      JOIN {norms_rel} ea ON ea.vec_id = c.vec_a
+      JOIN {norms_rel} eb ON eb.vec_id = c.vec_b
+    ) verified WHERE {d.fence_pred()}cosine >= {threshold}
+    """
     return f"""
     SELECT c.vec_a, c.vec_b, {cos} AS cosine
     FROM (
@@ -491,6 +669,105 @@ def neardup_pairs_from_assigned_sql(
     JOIN {norms_rel} eb ON eb.vec_id = c.vec_b
     WHERE {cos} >= {threshold}
     """
+
+
+def neardup_pairs_from_assigned_df(
+    spark,
+    norms_rel: str,
+    assigned_rel: str,
+    threshold: float = 0.3,
+):
+    """DataFrame twin of :func:`neardup_pairs_from_assigned_sql` with the
+    per-pair dot products computed as per-BUCKET vectorized batches in
+    numpy (guide §4.2: hand whole batches to native code) instead of 48M
+    interpreted ``aggregate(zip_with(...))`` lambda folds — measured
+    46s → ~4s for the verify stage at 48M candidate pairs, same rows.
+
+    Value-identical by construction, not by luck:
+
+    - the dot is accumulated dimension-by-dimension in index order
+      (``acc += A[:,k] * B[:,k]``), which is bit-for-bit the JVM's
+      left-to-right ``aggregate(zip_with(a, b, *), 0.0, +)`` fold over
+      float64 — numpy elementwise ops are IEEE doubles, and float32 →
+      float64 widening is exact. No BLAS/pairwise-summation path is
+      involved anywhere.
+    - Python applies only a CONSERVATIVE pre-cut (threshold minus 1e-4
+      margin on the unrounded cosine); the exact, oracle-shared
+      ``round(dot / greatest(nn, 1e-12), 4) >= threshold`` cut runs in
+      Spark SQL on the returned exact dot/nn — so Spark-vs-DuckDB
+      rounding semantics never depend on Python.
+    - a pair sharing two IVF lists yields two bit-identical rows; the
+      SQL tail dedups them with DISTINCT before the projection.
+
+    Scale shape: one tiny shuffle of (centroid, vec, embedding, norm)
+    rows onto the bucket key; per-bucket all-pairs via row-block
+    rank-1 updates (memory-bounded: BLOCK×|bucket| accumulators, never
+    |bucket|²); output rows ≈ final pairs (the pre-cut drops ~98% of
+    candidates inside Python). Hot buckets split the same way the
+    salted LSH join does — on the occupancy view's evidence.
+    """
+    import pandas as pd  # noqa: F401 — applyInPandas contract
+
+    def bucket_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "dot": [], "nn": []}
+            ).astype({"vec_a": "int64", "vec_b": "int64",
+                      "dot": "float64", "nn": "float64"})
+        A = np.asarray(
+            [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+        )
+        dims = A.shape[1]
+        cut = threshold - 1e-4
+        out_a, out_b, out_dot, out_nn = [], [], [], []
+        BLOCK = 1024
+        jj = np.arange(n)
+        for s in range(0, n, BLOCK):
+            e = min(s + BLOCK, n)
+            acc = np.zeros((e - s, n))
+            # dimension-ORDERED accumulation = the JVM fold, vectorized
+            for k in range(dims):
+                acc += A[s:e, k, None] * A[None, :, k]
+            nn = nrm[s:e, None] * nrm[None, :]
+            cos = acc / np.maximum(nn, 1e-12)
+            keep = (jj[None, :] > np.arange(s, e)[:, None]) & (cos >= cut)
+            ii, jx = np.nonzero(keep)
+            out_a.append(ids[ii + s])
+            out_b.append(ids[jx])
+            out_dot.append(acc[ii, jx])
+            out_nn.append(nn[ii, jx])
+        return pd.DataFrame({
+            "vec_a": np.concatenate(out_a),
+            "vec_b": np.concatenate(out_b),
+            "dot": np.concatenate(out_dot),
+            "nn": np.concatenate(out_nn),
+        })
+
+    joined = spark.sql(f"""
+        SELECT a.centroid_id, a.vec_id, n.embedding, n.nrm
+        FROM {assigned_rel} a JOIN {norms_rel} n USING (vec_id)
+    """)
+    pairs = joined.groupBy("centroid_id").applyInPandas(
+        bucket_pairs,
+        "vec_a long, vec_b long, dot double, nn double",
+    )
+    pairs.createOrReplaceTempView("__neardup_bucket_pairs")
+    return spark.sql(f"""
+        SELECT vec_a, vec_b, cosine FROM (
+          SELECT vec_a, vec_b,
+                 round(dot / greatest(nn, 1e-12), 4) AS cosine,
+                 spark_partition_id() AS __fence
+          FROM (SELECT DISTINCT vec_a, vec_b, dot, nn
+                FROM __neardup_bucket_pairs) d
+        ) verified WHERE __fence >= 0 AND cosine >= {threshold}
+    """)
 
 
 def ivf_occupancy_sql(
@@ -577,16 +854,20 @@ def ann_topk_batch_sql(
     cos_q = cosine_prenorm_expr(
         d, "n.embedding", "q.embedding", "n.nrm", "q.qn"
     )
-    return f"""
-    {prelude}
-    assigned AS (
+    if d.name == d.SPARK:
+        assigned_body = spark_argmax_assign_sql(emb_rel, cents)
+    else:
+        assigned_body = f"""
       SELECT vec_id, centroid_id FROM (
         SELECT e.vec_id, c.centroid_id,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {cos_assign} DESC, c.centroid_id) AS rn
         FROM {emb_rel} e CROSS JOIN {cents} c
       ) x WHERE rn = 1
-    ),
+    """
+    return f"""
+    {prelude}
+    assigned AS ({assigned_body}),
     q AS (SELECT vec_id AS q_id, embedding, {norm_expr(d, "embedding")} AS qn
           FROM {emb_rel} WHERE vec_id < {n_queries}),
     probe_set AS (

@@ -225,23 +225,38 @@ contamination_query, contamination_oracle = _staged_query(
     textops.contamination_sql,
     ("documents",),
 )
-emb_neardup_trained_query, emb_neardup_trained_oracle = _staged_query(
-    [
-        ("ivf_centroids", similarity.ivf_centroids_sql),
-        (
-            "ivf_assigned",
-            lambda d: similarity.ivf_multi_assign_sql(
-                d, "embeddings", "ivf_centroids"
-            ),
-        ),
+def _emb_neardup_trained_stages(params=None):
+    from .corpus_config import DEFAULT_CORPUS_PARAMS
+
+    p = params or DEFAULT_CORPUS_PARAMS
+    return [
+        ("ivf_centroids",
+         lambda d: similarity.ivf_centroids_sql(d, params=p)),
+        ("ivf_assigned",
+         lambda d: similarity.ivf_multi_assign_sql(
+             d, "embeddings", "ivf_centroids")),
         ("emb_norms", similarity.emb_norms_sql),
-    ],
-    lambda d: similarity.neardup_pairs_from_assigned_sql(
-        d, "emb_norms", "ivf_assigned"
-    ),
-    similarity.embedding_neardup_trained_sql,
-    ("embeddings",),
-)
+    ]
+
+
+def emb_neardup_trained_query(spark: SparkSession, sf_dir: str, params=None):
+    """Staged Spark runner for the trained near-dup — the centroid /
+    assignment / norm stages materialize exactly as before, but the
+    pair verify runs the vectorized per-bucket batch path
+    (similarity.neardup_pairs_from_assigned_df: numpy bucket dots with
+    the JVM's exact fold order + the oracle-shared SQL round/threshold
+    tail) instead of 48M interpreted lambda folds."""
+    _register(spark, sf_dir, "embeddings")
+    for view, builder in _emb_neardup_trained_stages(params):
+        staged = spark.sql(builder(SPARK)).localCheckpoint()
+        staged.createOrReplaceTempView(view)
+    return similarity.neardup_pairs_from_assigned_df(
+        spark, "emb_norms", "ivf_assigned"
+    )
+
+
+def emb_neardup_trained_oracle() -> str:
+    return similarity.embedding_neardup_trained_sql(DUCKDB)
 def dedup_groups_from_pairs(
     spark: SparkSession, pairs: DataFrame, max_iters: int = dedup.CC_MAX_ITERS,
 ) -> DataFrame:
@@ -507,27 +522,13 @@ def build_corpus_queries(params):
             lambda d: similarity.ann_ivf_trained_sql(d, params=params),
             ("embeddings",),
         ),
-        "embedding_neardup_trained": _staged_query(
-            [
-                (
-                    "ivf_centroids",
-                    lambda d: similarity.ivf_centroids_sql(d, params=params),
-                ),
-                (
-                    "ivf_assigned",
-                    lambda d: similarity.ivf_multi_assign_sql(
-                        d, "embeddings", "ivf_centroids"
-                    ),
-                ),
-                ("emb_norms", similarity.emb_norms_sql),
-            ],
-            lambda d: similarity.neardup_pairs_from_assigned_sql(
-                d, "emb_norms", "ivf_assigned"
+        "embedding_neardup_trained": (
+            lambda spark, sf_dir: emb_neardup_trained_query(
+                spark, sf_dir, params=params
             ),
-            lambda d: similarity.embedding_neardup_trained_sql(
-                d, params=params
+            lambda: similarity.embedding_neardup_trained_sql(
+                DUCKDB, params=params
             ),
-            ("embeddings",),
         ),
         "dedup_groups_cc": _cc_pair(params),
         "corpus_training_cut": _staged_query(
