@@ -11,7 +11,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.dialect import DUCKDB, SPARK
-from ..operators import dedup, eventops, similarity, textops
+from ..operators import dedup, eventops, shingle_batch, similarity, textops
+
+
+def _df_stage(fn):
+    """Wrap a (spark, **kw) DataFrame producer as a stage builder: the
+    staged runner calls builder(SPARK-dialect); DF stages ignore the
+    dialect (they are Spark-only by construction — the oracle side
+    always composes the single-SQL form)."""
+    def builder(_d):
+        from pyspark.sql import SparkSession
+
+        return fn(SparkSession.getActiveSession())
+
+    return builder
 
 
 def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
@@ -82,7 +95,11 @@ def _staged_query(stages, final_builder, oracle_builder, tables):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _register(spark, sf_dir, *tables)
         for view, builder in stages:
-            staged = spark.sql(builder(SPARK)).localCheckpoint()
+            out = builder(SPARK)
+            # a stage builder may return SQL text OR a built DataFrame
+            # (the vectorized mapInArrow sketch stages, shingle_batch)
+            staged = (spark.sql(out) if isinstance(out, str) else out)
+            staged = staged.localCheckpoint()
             staged.createOrReplaceTempView(view)
         return spark.sql(final_builder(SPARK))
 
@@ -105,7 +122,7 @@ mix_sample_query, mix_sample_oracle = _sql_query(
     textops.mix_sample_sql, ("documents",)
 )
 minhash_lsh_query, minhash_lsh_oracle = _staged_query(
-    [("minhash_sigs", dedup.minhash_signatures_sql)],
+    [("minhash_sigs", _df_stage(shingle_batch.minhash_signatures_df))],
     lambda d: dedup.minhash_pairs_from_sigs_sql(d, "minhash_sigs"),
     dedup.minhash_lsh_pairs_sql,
     ("documents",),
@@ -114,7 +131,7 @@ minhash_lsh_query, minhash_lsh_oracle = _staged_query(
 # construction, so the oracle IS the plain single-SQL form: the gate
 # proves the salting is placement-only
 minhash_lsh_salted_query, minhash_lsh_salted_oracle = _staged_query(
-    [("minhash_sigs", dedup.minhash_signatures_sql)],
+    [("minhash_sigs", _df_stage(shingle_batch.minhash_signatures_df))],
     lambda d: dedup.minhash_pairs_salted_sql(d, "minhash_sigs"),
     dedup.minhash_lsh_pairs_sql,
     ("documents",),
@@ -123,14 +140,14 @@ simhash_query, simhash_oracle = _sql_query(
     dedup.simhash_groups_sql, ("documents",)
 )
 simhash_neardup_query, simhash_neardup_oracle = _staged_query(
-    [("simhash_sketches", dedup.simhash_sketches_sql)],
+    [("simhash_sketches", _df_stage(shingle_batch.simhash_sketches_df))],
     lambda d: dedup.simhash_pairs_from_sketches_sql(d, "simhash_sketches"),
     dedup.simhash_neardup_pairs_sql,
     ("documents",),
 )
 ngram_jaccard_query, ngram_jaccard_oracle = _staged_query(
     [
-        ("ngram_sets", dedup.ngram_sets_sql),
+        ("ngram_sets", _df_stage(shingle_batch.ngram_sets_df)),
         ("ngram_postings", lambda d: dedup.ngram_postings_sql(d, "ngram_sets")),
     ],
     lambda d: dedup.ngram_pairs_from_postings_sql(
@@ -220,7 +237,7 @@ boilerplate_query, boilerplate_oracle = _staged_query(
     ("documents",),
 )
 contamination_query, contamination_oracle = _staged_query(
-    [("ngram_sets", dedup.ngram_sets_sql)],
+    [("ngram_sets", _df_stage(shingle_batch.ngram_sets_df))],
     lambda d: textops.contamination_sql(d, sets_rel="ngram_sets"),
     textops.contamination_sql,
     ("documents",),
@@ -318,8 +335,8 @@ def dedup_groups_query(
 
     params = params or DEFAULT_CORPUS_PARAMS
     _register(spark, sf_dir, "documents")
-    sigs = spark.sql(
-        dedup.minhash_signatures_sql(SPARK, params=params)
+    sigs = shingle_batch.minhash_signatures_df(
+        spark, params=params
     ).localCheckpoint()
     sigs.createOrReplaceTempView("minhash_sigs")
     pairs = spark.sql(
@@ -339,7 +356,7 @@ def _cc_pair(params):
     )
 corpus_retention_query, corpus_retention_oracle = _staged_query(
     [
-        ("minhash_sigs", dedup.minhash_signatures_sql),
+        ("minhash_sigs", _df_stage(shingle_batch.minhash_signatures_df)),
         (
             "minhash_pairs",
             lambda d: dedup.minhash_pairs_from_sigs_sql(d, "minhash_sigs"),
@@ -355,7 +372,7 @@ corpus_retention_query, corpus_retention_oracle = _staged_query(
 
 corpus_training_cut_query, corpus_training_cut_oracle = _staged_query(
     [
-        ("minhash_sigs", dedup.minhash_signatures_sql),
+        ("minhash_sigs", _df_stage(shingle_batch.minhash_signatures_df)),
         (
             "minhash_pairs",
             lambda d: dedup.minhash_pairs_from_sigs_sql(d, "minhash_sigs"),
@@ -444,7 +461,8 @@ def build_corpus_queries(params):
             [
                 (
                     "minhash_sigs",
-                    lambda d: dedup.minhash_signatures_sql(d, params=params),
+                    _df_stage(lambda spark: shingle_batch
+                              .minhash_signatures_df(spark, params=params)),
                 )
             ],
             lambda d: dedup.minhash_pairs_from_sigs_sql(
@@ -457,10 +475,10 @@ def build_corpus_queries(params):
             [
                 (
                     "simhash_sketches",
-                    lambda d: dedup.simhash_sketches_sql(
-                        d, bands=params.simhash_bands,
+                    _df_stage(lambda spark: shingle_batch.simhash_sketches_df(
+                        spark, bands=params.simhash_bands,
                         band_bits=params.simhash_band_bits,
-                    ),
+                    )),
                 )
             ],
             lambda d: dedup.simhash_pairs_from_sketches_sql(
@@ -476,7 +494,7 @@ def build_corpus_queries(params):
         ),
         "dedup_ngram_jaccard": _staged_query(
             [
-                ("ngram_sets", dedup.ngram_sets_sql),
+                ("ngram_sets", _df_stage(shingle_batch.ngram_sets_df)),
                 (
                     "ngram_postings",
                     lambda d: dedup.ngram_postings_sql(d, "ngram_sets", params),
@@ -535,7 +553,8 @@ def build_corpus_queries(params):
             [
                 (
                     "minhash_sigs",
-                    lambda d: dedup.minhash_signatures_sql(d, params=params),
+                    _df_stage(lambda spark: shingle_batch
+                              .minhash_signatures_df(spark, params=params)),
                 ),
                 (
                     "minhash_pairs",
@@ -560,7 +579,8 @@ def build_corpus_queries(params):
             [
                 (
                     "minhash_sigs",
-                    lambda d: dedup.minhash_signatures_sql(d, params=params),
+                    _df_stage(lambda spark: shingle_batch
+                              .minhash_signatures_df(spark, params=params)),
                 ),
                 (
                     "minhash_pairs",
