@@ -84,7 +84,10 @@ watermarked, pipeline/wire/neardup are foreachBatch exactly-once):
     attrib     bounded-window attribution over an EVENT stream via
                Spark's native stream-stream interval join (watermarked
                self-join, state bounded by the horizon); pair set equal
-               to the batch events_window_attrib over the drained input
+               to the batch events_window_attrib over inputs ordered
+               within the lateness bound (600s default — size it to
+               the input's disorder; later arrivals are dropped by
+               the watermark)
     dedup      at-least-once redelivery guard
                (dropDuplicatesWithinWatermark on conv_id/turn_idx)
     counters   event-time windowed per-role counters

@@ -82,9 +82,9 @@ def asof_enrich_sql(
     ),
     carried AS (
       SELECT user_id, ts, side, event_id, value,
-             last(mark_event_id, true) OVER w AS mark_event_id,
-             last(mark_ts, true) OVER w AS mark_ts,
-             last(mark_value, true) OVER w AS mark_value
+             last(CASE WHEN side = 0 THEN named_struct(
+                    'eid', mark_event_id, 'mts', mark_ts,
+                    'mval', mark_value) END, true) OVER w AS mark
       FROM unioned
       WINDOW w AS (
         PARTITION BY user_id
@@ -93,9 +93,10 @@ def asof_enrich_sql(
       )
     )
     SELECT event_id, user_id, {d.unix_micros('ts')} AS ts_us, value,
-           mark_event_id, {d.unix_micros('mark_ts')} AS mark_ts_us,
-           mark_value,
-           {d.unix_micros('ts')} - {d.unix_micros('mark_ts')}
+           mark.eid AS mark_event_id,
+           {d.unix_micros('mark.mts')} AS mark_ts_us,
+           mark.mval AS mark_value,
+           {d.unix_micros('ts')} - {d.unix_micros('mark.mts')}
              AS staleness_us
     FROM carried WHERE side = 1
     """
@@ -205,9 +206,9 @@ def asof_enrich_segmented_sql(
     ),
     carried AS (
       SELECT user_id, ts, block, side, event_id, value,
-             last(mark_event_id, true) OVER w AS mark_event_id,
-             last(mark_ts, true) OVER w AS mark_ts,
-             last(mark_value, true) OVER w AS mark_value
+             last(CASE WHEN side = 0 THEN named_struct(
+                    'eid', mark_event_id, 'mts', mark_ts,
+                    'mval', mark_value) END, true) OVER w AS mark
       FROM unioned
       WINDOW w AS (
         PARTITION BY user_id, block
@@ -236,11 +237,11 @@ def asof_enrich_segmented_sql(
       LEFT JOIN bsum s ON s.user_id = b.user_id AND s.block = b.block
     )
     SELECT p.event_id, p.user_id, {d.unix_micros('p.ts')} AS ts_us, p.value,
-           coalesce(p.mark_event_id, c.carry.eid) AS mark_event_id,
-           {d.unix_micros("coalesce(p.mark_ts, c.carry.mts)")} AS mark_ts_us,
-           coalesce(p.mark_value, c.carry.mval) AS mark_value,
+           coalesce(p.mark, c.carry).eid AS mark_event_id,
+           {d.unix_micros("coalesce(p.mark, c.carry).mts")} AS mark_ts_us,
+           coalesce(p.mark, c.carry).mval AS mark_value,
            {d.unix_micros('p.ts')}
-             - {d.unix_micros("coalesce(p.mark_ts, c.carry.mts)")}
+             - {d.unix_micros("coalesce(p.mark, c.carry).mts")}
              AS staleness_us
     FROM carried p
     JOIN bcarry c ON c.user_id = p.user_id AND c.block = p.block

@@ -404,8 +404,6 @@ def bpe_merges_query(
     shape as dedup_groups_query: a Python loop of materialized
     generations, because an inlined w{k} chain re-executes the whole
     prefix per round in both engines."""
-    from ..functions.dialect import SqlDialect as _SD
-
     _register(spark, sf_dir, "documents")
     words = spark.sql(textops.bpe_words_sql(SPARK)).localCheckpoint()
     words.createOrReplaceTempView("bpe_words")
@@ -418,7 +416,6 @@ def bpe_merges_query(
             break
         left, right, cnt = top[0]
         merges.append((k, left, right, left + right, cnt))
-        pat, rep = _SD.SPARK, None  # noqa: F841 (readability anchors)
         words = spark.sql(
             "SELECT word, cnt, replace(spaced, "
             f"{SPARK.lit(' ' + left + '  ' + right + ' ')}, "

@@ -51,6 +51,12 @@ def heal_swapped_dir(path: str) -> None:
     counts twice)."""
     if not os.path.exists(path) and os.path.exists(f"{path}_old"):
         os.rename(f"{path}_old", path)
+    elif os.path.exists(path) and os.path.exists(f"{path}_old"):
+        # crash landed between the full fold's second rename (new
+        # generation visible) and its rmtree: the leftover _old dir
+        # would make the NEXT full fold's os.rename(path, path_old)
+        # fail ENOTEMPTY and wedge compaction (r5 ADVICE)
+        shutil.rmtree(f"{path}_old", ignore_errors=True)
     if not os.path.isdir(path):
         return
     import json

@@ -373,8 +373,10 @@ def neardup_batch_handler(
 
         spark = batch_df.sparkSession
         batch_df.createOrReplaceTempView("nd_batch_docs")
-        new_sigs = spark.sql(
-            dedup.minhash_signatures_sql(SPARK_D, "nd_batch_docs", params)
+        from ..operators import shingle_batch
+
+        new_sigs = shingle_batch.minhash_signatures_df(
+            spark, "nd_batch_docs", params
         ).localCheckpoint()
         new_sigs.createOrReplaceTempView("nd_new_sigs")
         new_banded = spark.sql(
@@ -1176,6 +1178,13 @@ def attrib_stream(
 
     Inner join + append mode: each pair is emitted exactly once, when
     both sides have arrived.
+
+    Lateness caveat (r5 ADVICE): equality with the batch operator holds
+    for inputs whose arrival order tracks event time within
+    ``late_sec`` — a mark or probe arriving later than the watermark
+    bound is silently dropped by the stateful join. Size ``late_sec``
+    to the input's actual disorder (exposed through
+    ``run_stream_attrib``).
     """
     marks = (
         events.where(F.col("event_type") == mark_type)
@@ -1223,11 +1232,17 @@ def run_stream_attrib(
     output_dir: str,
     checkpoint_dir: str,
     horizon_sec: int = 6 * 3600,
+    late_sec: int = 600,
 ) -> None:
     """Drain an event stream through the native interval join
-    (availableNow trigger), appending attribution pairs as parquet."""
+    (availableNow trigger), appending attribution pairs as parquet.
+    Pair-set equality with the batch events_window_attrib holds for
+    inputs ordered within ``late_sec`` of event time (see
+    attrib_stream's lateness caveat); size it to the input's actual
+    disorder."""
     q = (
-        attrib_stream(stream_events(spark, input_dir), horizon_sec=horizon_sec)
+        attrib_stream(stream_events(spark, input_dir),
+                      horizon_sec=horizon_sec, late_sec=late_sec)
         .writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
@@ -1467,8 +1482,10 @@ def simhash_batch_handler(
         batch_df.select("doc_id", "text").createOrReplaceTempView(
             "sh_batch_docs"
         )
-        new_sk = spark.sql(
-            dedup.simhash_sketches_sql(SPARK_D, "sh_batch_docs")
+        from ..operators import shingle_batch
+
+        new_sk = shingle_batch.simhash_sketches_df(
+            spark, "sh_batch_docs"
         ).localCheckpoint()
         new_sk.createOrReplaceTempView("sh_new_sk")
         band_rows = " UNION ALL ".join(

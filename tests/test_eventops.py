@@ -229,3 +229,50 @@ def test_funnel_gate_parity_on_fixture(spark, duck):
     assert_df_equals_oracle(
         C.funnel_query(spark, SF_DIR), duck, C.funnel_oracle()
     )
+
+
+NULL_MARK_FIXTURE = [
+    # user 1: an early mark WITH a value, then a later mark whose value
+    # is NULL — the whole later ROW must carry (r5 ADVICE: independent
+    # per-column IGNORE-NULLS carries produced a mixed tuple here,
+    # diverging from the ASOF oracle's whole-row semantics)
+    (100, 10, 1, "view", 1.0),
+    (101, 20, 1, "view", None),
+    (200, 25, 1, "purchase", 9.0),
+]
+
+
+def _null_mark_rel():
+    vals = ", ".join(
+        f"({eid}, to_timestamp({ts}), {uid}, '{et}', "
+        + ("CAST(NULL AS DOUBLE))" if v is None else f"CAST({v} AS DOUBLE))")
+        for eid, ts, uid, et, v in NULL_MARK_FIXTURE
+    )
+    return f"(VALUES {vals}) ev(event_id, ts, user_id, event_type, value)"
+
+
+def test_asof_null_mark_value_carries_whole_row(spark, duck):
+    """A NULL-valued mark carries as one row: mark_event_id/ts from the
+    later mark AND mark_value NULL — on the plain and segmented forms."""
+    from slog_agent_spark.operators.eventops import asof_enrich_segmented_sql
+
+    oracle = {
+        r[0]: r
+        for r in duckdb.connect()
+        .execute(asof_enrich_sql(DUCKDB, rel=_null_mark_rel()))
+        .fetchall()
+    }
+    assert oracle[200][4] == 101 and oracle[200][6] is None
+
+    sdf = spark.createDataFrame(
+        [(e, float(t), u, et, v) for e, t, u, et, v in NULL_MARK_FIXTURE],
+        "event_id long, epoch double, user_id long, event_type string, value double",
+    ).selectExpr("event_id", "CAST(to_timestamp(epoch) AS TIMESTAMP) ts",
+                 "user_id", "event_type", "value")
+    sdf.createOrReplaceTempView("null_mark_fixture")
+    for sql in (
+        asof_enrich_sql(SPARK, rel="null_mark_fixture"),
+        asof_enrich_segmented_sql(SPARK, rel="null_mark_fixture"),
+    ):
+        srows = {r[0]: tuple(r) for r in spark.sql(sql).collect()}
+        assert srows == oracle
