@@ -49,6 +49,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # The six queries below are declared FIRST: the driver's
+        # correctness gate verifies entries in declaration order (r5
+        # verdict: only the first 50 got CORRECTNESS rows), and these
+        # six were the never-driver-verified tail. Rotation noted in
+        # SURVEY §8.
+        "events_sessionize": C.sessionize_query,
+        "events_funnel": C.funnel_query,
+        "corpus_retention": C.corpus_retention_query,
+        "corpus_training_cut": C.corpus_training_cut_query,
+        "multimodal_feature_extract": lambda spark, sf: _mm_features(spark, sf),
+        "multimodal_frame_sample": lambda spark, sf: _mm_frames(spark, sf),
         "transcripts_derivation": lambda spark, sf: transcripts_df(spark, sf).drop("ts"),
         "grok_parse_rfc5424": lambda spark, sf: _cast_counts_long(
             parse_transcripts(transcripts_df(spark, sf)).drop("ts")
@@ -127,12 +138,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_enrich": C.asof_enrich_query,
         "events_window_attrib": C.window_attrib_query,
         "events_asof_segmented": C.asof_segmented_query,
-        "events_sessionize": C.sessionize_query,
-        "events_funnel": C.funnel_query,
-        "corpus_retention": C.corpus_retention_query,
-        "corpus_training_cut": C.corpus_training_cut_query,
-        "multimodal_feature_extract": lambda spark, sf: _mm_features(spark, sf),
-        "multimodal_frame_sample": lambda spark, sf: _mm_frames(spark, sf),
     }
 
 
@@ -152,6 +157,12 @@ def _mm_frames(spark: SparkSession, sf: str) -> DataFrame:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_sessionize": C.sessionize_oracle(),
+        "events_funnel": C.funnel_oracle(),
+        "corpus_retention": C.corpus_retention_oracle(),
+        "corpus_training_cut": C.corpus_training_cut_oracle(),
+        "multimodal_feature_extract": _mm_oracle(),
+        "multimodal_frame_sample": _mm_frames_oracle(),
         "transcripts_derivation": "WITH t AS ("
         + transcripts_oracle_cte()
         + ") SELECT conv_id, turn_idx, role, text, tool FROM t",
@@ -209,12 +220,6 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_enrich": C.asof_enrich_oracle(),
         "events_window_attrib": C.window_attrib_oracle(),
         "events_asof_segmented": C.asof_segmented_oracle(),
-        "events_sessionize": C.sessionize_oracle(),
-        "events_funnel": C.funnel_oracle(),
-        "corpus_retention": C.corpus_retention_oracle(),
-        "corpus_training_cut": C.corpus_training_cut_oracle(),
-        "multimodal_feature_extract": _mm_oracle(),
-        "multimodal_frame_sample": _mm_frames_oracle(),
     }
 
 
