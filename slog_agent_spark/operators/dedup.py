@@ -675,6 +675,25 @@ def corpus_retention_from_pairs_sql(
     )
 
 
+def corpus_retention_from_sigs_sql(
+    d: SqlDialect, docs_rel: str, sigs_rel: str,
+    params: CorpusParams = DEFAULT_CORPUS_PARAMS,
+) -> str:
+    """Retention decision with the PAIR stage inlined over a
+    materialized signature relation: the pair relation is referenced
+    exactly once (near_removed's DISTINCT doc_b), so materializing it
+    as its own stage bought nothing and cost one localCheckpoint
+    round-trip per run — the Spark runners now compose it inline
+    (the signature relation stays staged: it is referenced four ways)."""
+    return (
+        f"WITH {minhash_pairs_ctes(d, sigs_rel, params)}, "
+        f"pairs AS ({minhash_pairs_final(d, params.jaccard_threshold)}), "
+        + corpus_retention_ctes(d, docs_rel, "pairs")
+        + " "
+        + corpus_retention_final(d, params)
+    )
+
+
 def corpus_retention_sql(
     d: SqlDialect, docs_rel: str = "documents",
     params: CorpusParams = DEFAULT_CORPUS_PARAMS,

@@ -40,7 +40,13 @@ def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
     par = spark.sparkContext.defaultParallelism
     for n in names:
         df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
-        if df.rdd.getNumPartitions() < par:
+        # file-count probe instead of df.rdd.getNumPartitions(): the
+        # RDD conversion plans the physical scan (~90ms of driver work
+        # PER REGISTER — ~5s across the 19-query corpus bench loop);
+        # inputFiles() is pure FileIndex metadata (~2ms). A table with
+        # >= par files already scans wide; fewer-but-splittable files
+        # at most get one extra (harmless) repartition.
+        if len(df.inputFiles()) < par:
             df = df.repartition(par)
         df.createOrReplaceTempView(n)
 
@@ -357,13 +363,9 @@ def _cc_pair(params):
 corpus_retention_query, corpus_retention_oracle = _staged_query(
     [
         ("minhash_sigs", _df_stage(shingle_batch.minhash_signatures_df)),
-        (
-            "minhash_pairs",
-            lambda d: dedup.minhash_pairs_from_sigs_sql(d, "minhash_sigs"),
-        ),
     ],
-    lambda d: dedup.corpus_retention_from_pairs_sql(
-        d, "documents", "minhash_pairs"
+    lambda d: dedup.corpus_retention_from_sigs_sql(
+        d, "documents", "minhash_sigs"
     ),
     dedup.corpus_retention_sql,
     ("documents",),
@@ -374,13 +376,9 @@ corpus_training_cut_query, corpus_training_cut_oracle = _staged_query(
     [
         ("minhash_sigs", _df_stage(shingle_batch.minhash_signatures_df)),
         (
-            "minhash_pairs",
-            lambda d: dedup.minhash_pairs_from_sigs_sql(d, "minhash_sigs"),
-        ),
-        (
             "tc_retention",
-            lambda d: dedup.corpus_retention_from_pairs_sql(
-                d, "documents", "minhash_pairs"
+            lambda d: dedup.corpus_retention_from_sigs_sql(
+                d, "documents", "minhash_sigs"
             ),
         ),
     ],
@@ -554,15 +552,9 @@ def build_corpus_queries(params):
                               .minhash_signatures_df(spark, params=params)),
                 ),
                 (
-                    "minhash_pairs",
-                    lambda d: dedup.minhash_pairs_from_sigs_sql(
-                        d, "minhash_sigs", params
-                    ),
-                ),
-                (
                     "tc_retention",
-                    lambda d: dedup.corpus_retention_from_pairs_sql(
-                        d, "documents", "minhash_pairs", params
+                    lambda d: dedup.corpus_retention_from_sigs_sql(
+                        d, "documents", "minhash_sigs", params
                     ),
                 ),
             ],
@@ -579,15 +571,9 @@ def build_corpus_queries(params):
                     _df_stage(lambda spark: shingle_batch
                               .minhash_signatures_df(spark, params=params)),
                 ),
-                (
-                    "minhash_pairs",
-                    lambda d: dedup.minhash_pairs_from_sigs_sql(
-                        d, "minhash_sigs", params
-                    ),
-                ),
             ],
-            lambda d: dedup.corpus_retention_from_pairs_sql(
-                d, "documents", "minhash_pairs", params
+            lambda d: dedup.corpus_retention_from_sigs_sql(
+                d, "documents", "minhash_sigs", params
             ),
             lambda d: dedup.corpus_retention_sql(d, params=params),
             ("documents",),
