@@ -78,8 +78,13 @@ def main() -> None:
     raw1 = plan_of(tr)
     sections.append((
         "parse -> 20-step transform chain (`transform_transcripts`)",
-        "The entire chain must be ONE codegen span over the scan: "
-        "no Exchange (map-only), no Python evaluation.",
+        "The chain must stay map-only (no Exchange) with no Python "
+        "evaluation, compiled as EXACTLY TWO whole-stage-codegen spans: "
+        "one deliberate observe() span break at the 60% layer keeps the "
+        "fused processNext under the HotSpot JIT cliff (r6; "
+        "operators/transforms.py CODEGEN_SPAN_MAX_LAYERS — one fused "
+        "span measured 3.5x slower at 20M rows, more breaks strictly "
+        "worse).",
         p1,
     ))
     check("chain: zero shuffles", "Exchange" not in raw1,
@@ -88,6 +93,9 @@ def main() -> None:
     # `*(n)` prefixes in toString()
     check("chain: whole-stage codegen",
           "WholeStageCodegen" in p1 or "*(" in raw1, "")
+    check("chain: exactly one codegen span break (observe barrier)",
+          raw1.count("CollectMetrics") == 1,
+          f"{raw1.count('CollectMetrics')} CollectMetrics")
     check("chain: no Python in hot path",
           "BatchEvalPython" not in raw1 and "ArrowEvalPython" not in raw1, "")
 
