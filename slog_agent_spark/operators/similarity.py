@@ -363,6 +363,7 @@ def ann_ivf_trained_sql(
     emb_rel: str = "embeddings", probes: int | None = None,
     n_centroids: int | None = None,
     cents_rel: str | None = None,
+    assigned_rel: str | None = None,
     params: CorpusParams = DEFAULT_CORPUS_PARAMS,
 ) -> str:
     """ANN top-k over k-means-trained IVF lists (probe the best lists).
@@ -393,7 +394,9 @@ def ann_ivf_trained_sql(
         d, "e.embedding", "q.embedding", norm_expr(d, "e.embedding"), "q.qn"
     )
     cos_probe = cosine_expr(d, "c.emb", "q.embedding")
-    if d.name == d.SPARK:
+    if assigned_rel is not None:
+        assigned_body = f"SELECT vec_id, centroid_id FROM {assigned_rel}"
+    elif d.name == d.SPARK:
         assigned_body = spark_argmax_assign_sql(emb_rel, cents)
     else:
         assigned_body = f"""
@@ -606,6 +609,118 @@ def spark_argmax_assign_sql(
       GROUP BY vec_id"""
 
 
+def _lit_double(v: float) -> str:
+    """Exact SQL double literal: repr() is the shortest decimal that
+    round-trips binary64, and a string→double CAST parses it back to the
+    identical bits (correctly-rounded parse). Constant-folded by
+    Catalyst, so the cost is plan-time only."""
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def unrolled_assign_sql(
+    cent_rows: list[tuple[int, list[float]]],
+    emb_rel: str,
+    assign_r: int,
+    vec_col: str = "embedding",
+) -> str:
+    """Spark-only top-r assignment with the centroid VALUES inlined as
+    literal coefficients — a pure codegen projection: no join, no
+    shuffle, no interpreted higher-order-function fold.
+
+    ``cent_rows`` is the materialized centroid relation read once on the
+    driver (|C| x dims doubles — the same driver-side-metadata class as
+    bucket lists / one-row tops). Bit-identical to
+    :func:`spark_topr_assign_sql` by construction:
+
+    - the dot is spelled as ``0.0 + e[1]*c1 + e[2]*c2 + …`` — the same
+      left-to-right IEEE fold (including the 0.0 seed) as
+      ``aggregate(zip_with(..), 0.0D, +)``;
+    - centroid norms are folded in Python with the identical ordered
+      ``acc += v*v`` / sqrt sequence and inlined via exact literals;
+    - the same ``round(dot / greatest(en*cn, 1e-12), 4)`` cosine and the
+      same ascending ``(−cos, centroid_id)`` tie rule, here via
+      ``array_sort`` over the identical struct;
+    - vectors whose length differs from the centroid dimensionality
+      (impossible for k-means output, but guarded anyway) fall back to
+      the original ``aggregate(zip_with(...))`` fold over a literal
+      array — CASE branches evaluate lazily, so typical rows never pay
+      for the guard.
+
+    For ``assign_r == 1`` the result is a plain projection
+    (``element_at(array_sort(...), 1).cid`` — no Generate at all). For
+    larger r the sorted-slice column is FENCED below the explode:
+    without the fence, CollapseProject inlines the whole literal array
+    into the Generate operator, which evaluates its generator outside
+    whole-stage codegen — measured 25s vs 0.9s at 20k vectors.
+    """
+    import math
+
+    dims = len(cent_rows[0][1])
+    structs_fast, structs_slow = [], []
+    for cid, emb in sorted(cent_rows, key=lambda r: r[0]):
+        acc = 0.0
+        for v in emb:
+            acc += v * v
+        cn = _lit_double(math.sqrt(acc))
+        dot_fast = " + ".join(
+            ["CAST(0 AS DOUBLE)"]
+            + [f"element_at(emb, {k + 1}) * {_lit_double(v)}"
+               for k, v in enumerate(emb)]
+        )
+        arr_lit = "array(" + ", ".join(_lit_double(v) for v in emb) + ")"
+        dot_slow = (
+            f"aggregate(zip_with(emb, {arr_lit}, (x, y) -> x * y), "
+            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        for dot, structs in ((dot_fast, structs_fast), (dot_slow, structs_slow)):
+            structs.append(
+                f"named_struct('nc', -round(({dot}) / "
+                f"greatest(en * {cn}, 1e-12), 4), "
+                f"'cid', CAST({cid} AS BIGINT))"
+            )
+    fast_arr = "array(" + ", ".join(structs_fast) + ")"
+    slow_arr = "array(" + ", ".join(structs_slow) + ")"
+    d = SPARK_DIALECT
+    guarded = (
+        f"array_sort(CASE WHEN size(emb) = {dims} THEN {fast_arr} "
+        f"ELSE {slow_arr} END)"
+    )
+    e_side = (
+        f"(SELECT vec_id, CAST({vec_col} AS ARRAY<DOUBLE>) AS emb, "
+        f"{norm_expr(d, vec_col)} AS en FROM {emb_rel}) e"
+    )
+    if assign_r == 1:
+        return (
+            f"SELECT vec_id, element_at({guarded}, 1).cid AS centroid_id "
+            f"FROM {e_side}"
+        )
+    return f"""
+      SELECT vec_id, s.cid AS centroid_id FROM (
+        SELECT vec_id, slice({guarded}, 1, {assign_r}) AS top,
+               spark_partition_id() AS __fence
+        FROM {e_side}
+      ) t LATERAL VIEW explode(t.top) x AS s
+      WHERE __fence >= 0"""
+
+
+def assign_df(
+    spark,
+    emb_rel: str = "embeddings",
+    cents_rel: str = "ivf_centroids",
+    assign_r: int = 2,
+    vec_col: str = "embedding",
+):
+    """DataFrame twin of :func:`ivf_multi_assign_sql` (Spark side) over a
+    MATERIALIZED centroid view: reads the centroid values once on the
+    driver and runs :func:`unrolled_assign_sql`. Same rows as the
+    aggregate/window forms (pinned by tests/test_shingle_batch.py)."""
+    rows = spark.table(cents_rel).collect()
+    cent_rows = [(r["centroid_id"], list(r["emb"])) for r in rows]
+    return spark.sql(
+        unrolled_assign_sql(cent_rows, emb_rel, assign_r, vec_col=vec_col)
+    )
+
+
 def ivf_multi_assign_sql(
     d: SqlDialect, emb_rel: str, cents_rel: str, assign_r: int = 2
 ) -> str:
@@ -685,26 +800,36 @@ def neardup_pairs_from_assigned_df(
 
     Value-identical by construction, not by luck:
 
-    - the dot is accumulated dimension-by-dimension in index order
-      (``acc += A[:,k] * B[:,k]``), which is bit-for-bit the JVM's
-      left-to-right ``aggregate(zip_with(a, b, *), 0.0, +)`` fold over
-      float64 — numpy elementwise ops are IEEE doubles, and float32 →
-      float64 widening is exact. No BLAS/pairwise-summation path is
-      involved anywhere.
-    - Python applies only a CONSERVATIVE pre-cut (threshold minus 1e-4
-      margin on the unrounded cosine); the exact, oracle-shared
-      ``round(dot / greatest(nn, 1e-12), 4) >= threshold`` cut runs in
-      Spark SQL on the returned exact dot/nn — so Spark-vs-DuckDB
-      rounding semantics never depend on Python.
+    - candidate SCREENING runs as a float32 GEMM per row block (the
+      fastest dense primitive available), with a conservative margin:
+      ``|cos32 − cos64| ≤ ~(dims+4)·eps32 ≈ 5e-6`` relative (the error
+      of a float32 dot is bounded by eps32·Σ|aₖbₖ| per accumulation
+      step and Σ|aₖbₖ| ≤ ‖a‖‖b‖ = nn, so the bound holds regardless of
+      cancellation), screened at ``threshold − 1e-3`` — two orders of
+      magnitude of slack, so no pair the exact cut would keep can be
+      screened out. Screen false-positives cost only a re-verify.
+    - every RETURNED dot is then recomputed for the surviving pairs
+      dimension-by-dimension in index order (``acc += Ai[:,k] *
+      Aj[:,k]``), which is bit-for-bit the JVM's left-to-right
+      ``aggregate(zip_with(a, b, *), 0.0, +)`` fold over float64 —
+      numpy elementwise ops are IEEE doubles, and float32 → float64
+      widening is exact. No BLAS value ever leaves Python: the GEMM
+      only decides which pairs get the exact fold.
+    - Python applies only a CONSERVATIVE final pre-cut (threshold minus
+      1e-4 margin on the unrounded exact cosine — same cut as before
+      the GEMM screen existed, so the emitted row set is unchanged);
+      the exact, oracle-shared ``round(dot / greatest(nn, 1e-12), 4) >=
+      threshold`` cut runs in Spark SQL on the returned exact dot/nn —
+      so Spark-vs-DuckDB rounding semantics never depend on Python.
     - a pair sharing two IVF lists yields two bit-identical rows; the
       SQL tail dedups them with DISTINCT before the projection.
 
     Scale shape: one tiny shuffle of (centroid, vec, embedding, norm)
-    rows onto the bucket key; per-bucket all-pairs via row-block
-    rank-1 updates (memory-bounded: BLOCK×|bucket| accumulators, never
-    |bucket|²); output rows ≈ final pairs (the pre-cut drops ~98% of
-    candidates inside Python). Hot buckets split the same way the
-    salted LSH join does — on the occupancy view's evidence.
+    rows onto the bucket key; per-bucket all-pairs via row-block GEMM
+    (memory-bounded: BLOCK×|bucket| accumulators, never |bucket|²);
+    output rows ≈ final pairs (the screen drops ~98% of candidates
+    inside Python). Hot buckets split the same way the salted LSH join
+    does — on the occupancy view's evidence.
     """
     import pandas as pd  # noqa: F401 — applyInPandas contract
 
@@ -724,25 +849,48 @@ def neardup_pairs_from_assigned_df(
         A = np.asarray(
             [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
         )
+        A32 = A.astype(np.float32)
+        AT = np.ascontiguousarray(A.T)   # (dims, n): contiguous fold rows
+        nrm32 = nrm.astype(np.float32)
         dims = A.shape[1]
-        cut = threshold - 1e-4
+        cut = threshold - 1e-4          # exact-cosine cut (unchanged)
+        cut32 = threshold - 1e-3        # float32 screen, ≥100× the error bound
         out_a, out_b, out_dot, out_nn = [], [], [], []
         BLOCK = 1024
         jj = np.arange(n)
         for s in range(0, n, BLOCK):
             e = min(s + BLOCK, n)
-            acc = np.zeros((e - s, n))
-            # dimension-ORDERED accumulation = the JVM fold, vectorized
-            for k in range(dims):
-                acc += A[s:e, k, None] * A[None, :, k]
-            nn = nrm[s:e, None] * nrm[None, :]
-            cos = acc / np.maximum(nn, 1e-12)
-            keep = (jj[None, :] > np.arange(s, e)[:, None]) & (cos >= cut)
+            # float32 GEMM screen (values never emitted)
+            g32 = A32[s:e] @ A32.T
+            nn32 = np.maximum(
+                nrm32[s:e, None] * nrm32[None, :], np.float32(1e-12)
+            )
+            g32 /= nn32
+            keep = g32 >= cut32
+            keep &= jj[None, :] > np.arange(s, e)[:, None]
             ii, jx = np.nonzero(keep)
-            out_a.append(ids[ii + s])
-            out_b.append(ids[jx])
-            out_dot.append(acc[ii, jx])
-            out_nn.append(nn[ii, jx])
+            if not len(ii):
+                continue
+            # exact fold for survivors only: gather the pair COLUMNS from
+            # the transposed copy (each aiT[k] is contiguous), then
+            # dimension-ORDERED accumulation = the JVM fold, vectorized
+            aiT, ajT = AT[:, ii + s], AT[:, jx]
+            acc = np.zeros(len(ii))
+            tmp = np.empty(len(ii))
+            for k in range(dims):
+                np.multiply(aiT[k], ajT[k], out=tmp)
+                acc += tmp
+            pnn = nrm[ii + s] * nrm[jx]
+            fin = (acc / np.maximum(pnn, 1e-12)) >= cut
+            out_a.append(ids[ii + s][fin])
+            out_b.append(ids[jx][fin])
+            out_dot.append(acc[fin])
+            out_nn.append(pnn[fin])
+        if not out_a:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "dot": [], "nn": []}
+            ).astype({"vec_a": "int64", "vec_b": "int64",
+                      "dot": "float64", "nn": "float64"})
         return pd.DataFrame({
             "vec_a": np.concatenate(out_a),
             "vec_b": np.concatenate(out_b),
@@ -774,6 +922,7 @@ def ivf_occupancy_sql(
     d: SqlDialect,
     emb_rel: str = "embeddings",
     cents_rel: str | None = None,
+    assigned_rel: str | None = None,
     params: CorpusParams = DEFAULT_CORPUS_PARAMS,
 ) -> str:
     """IVF list occupancy: (centroid_id, n_vectors, permille) — the
@@ -801,7 +950,10 @@ def ivf_occupancy_sql(
     else:
         cents = cents_rel
         prelude = "WITH"
-    assign = ivf_multi_assign_sql(d, emb_rel, cents, assign_r=1)
+    if assigned_rel is not None:
+        assign = f"SELECT vec_id, centroid_id FROM {assigned_rel}"
+    else:
+        assign = ivf_multi_assign_sql(d, emb_rel, cents, assign_r=1)
     return f"""
     {prelude}
     assigned AS ({assign}),
@@ -822,6 +974,7 @@ def ann_topk_batch_sql(
     emb_rel: str = "embeddings",
     probes: int | None = None,
     cents_rel: str | None = None,
+    assigned_rel: str | None = None,
     params: CorpusParams = DEFAULT_CORPUS_PARAMS,
 ) -> str:
     """BATCH ANN: top-k neighbours for EVERY query in a query set, one
@@ -854,7 +1007,9 @@ def ann_topk_batch_sql(
     cos_q = cosine_prenorm_expr(
         d, "n.embedding", "q.embedding", "n.nrm", "q.qn"
     )
-    if d.name == d.SPARK:
+    if assigned_rel is not None:
+        assigned_body = f"SELECT vec_id, centroid_id FROM {assigned_rel}"
+    elif d.name == d.SPARK:
         assigned_body = spark_argmax_assign_sql(emb_rel, cents)
     else:
         assigned_body = f"""

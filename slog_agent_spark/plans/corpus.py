@@ -162,21 +162,35 @@ ngram_jaccard_query, ngram_jaccard_oracle = _staged_query(
     dedup.ngram_jaccard_pairs_sql,
     ("documents",),
 )
+# the trained-ANN runners stage the argmax ASSIGNMENT as well as the
+# centroids: the materialized centroid values are inlined as literal
+# coefficients (similarity.unrolled_assign_sql — pure codegen
+# projection, no interpreted lambda fold, no join), same rows as the
+# aggregate form the single-SQL oracle text keeps. (A per-iteration
+# materialized k-means with the same inlining was measured SLOWER —
+# the extra round-trips exceed the interpreted-fold savings at the
+# documented training-sample budget — so the k-means stage keeps the
+# composed-CTE form.)
+_ARGMAX_STAGE = ("ivf_assigned", _df_stage(
+    lambda spark: similarity.assign_df(spark, assign_r=1)))
 ann_ivf_trained_query, ann_ivf_trained_oracle = _staged_query(
-    [("ivf_centroids", similarity.ivf_centroids_sql)],
-    lambda d: similarity.ann_ivf_trained_sql(d, cents_rel="ivf_centroids"),
+    [("ivf_centroids", similarity.ivf_centroids_sql), _ARGMAX_STAGE],
+    lambda d: similarity.ann_ivf_trained_sql(
+        d, cents_rel="ivf_centroids", assigned_rel="ivf_assigned"),
     similarity.ann_ivf_trained_sql,
     ("embeddings",),
 )
 ann_list_occupancy_query, ann_list_occupancy_oracle = _staged_query(
-    [("ivf_centroids", similarity.ivf_centroids_sql)],
-    lambda d: similarity.ivf_occupancy_sql(d, cents_rel="ivf_centroids"),
+    [("ivf_centroids", similarity.ivf_centroids_sql), _ARGMAX_STAGE],
+    lambda d: similarity.ivf_occupancy_sql(
+        d, cents_rel="ivf_centroids", assigned_rel="ivf_assigned"),
     similarity.ivf_occupancy_sql,
     ("embeddings",),
 )
 ann_topk_batch_query, ann_topk_batch_oracle = _staged_query(
-    [("ivf_centroids", similarity.ivf_centroids_sql)],
-    lambda d: similarity.ann_topk_batch_sql(d, cents_rel="ivf_centroids"),
+    [("ivf_centroids", similarity.ivf_centroids_sql), _ARGMAX_STAGE],
+    lambda d: similarity.ann_topk_batch_sql(
+        d, cents_rel="ivf_centroids", assigned_rel="ivf_assigned"),
     similarity.ann_topk_batch_sql,
     ("embeddings",),
 )
@@ -255,9 +269,11 @@ def _emb_neardup_trained_stages(params=None):
     return [
         ("ivf_centroids",
          lambda d: similarity.ivf_centroids_sql(d, params=p)),
-        ("ivf_assigned",
-         lambda d: similarity.ivf_multi_assign_sql(
-             d, "embeddings", "ivf_centroids")),
+        # literal-inlined top-r assignment over the materialized
+        # centroids (pure codegen projection; same rows as the
+        # aggregate form — see similarity.unrolled_assign_sql)
+        ("ivf_assigned", _df_stage(
+            lambda spark: similarity.assign_df(spark, assign_r=2))),
         ("emb_norms", similarity.emb_norms_sql),
     ]
 
@@ -271,7 +287,9 @@ def emb_neardup_trained_query(spark: SparkSession, sf_dir: str, params=None):
     tail) instead of 48M interpreted lambda folds."""
     _register(spark, sf_dir, "embeddings")
     for view, builder in _emb_neardup_trained_stages(params):
-        staged = spark.sql(builder(SPARK)).localCheckpoint()
+        out = builder(SPARK)
+        staged = (spark.sql(out) if isinstance(out, str) else out)
+        staged = staged.localCheckpoint()
         staged.createOrReplaceTempView(view)
     return similarity.neardup_pairs_from_assigned_df(
         spark, "emb_norms", "ivf_assigned"
@@ -514,10 +532,12 @@ def build_corpus_queries(params):
                 (
                     "ivf_centroids",
                     lambda d: similarity.ivf_centroids_sql(d, params=params),
-                )
+                ),
+                _ARGMAX_STAGE,
             ],
             lambda d: similarity.ann_topk_batch_sql(
-                d, cents_rel="ivf_centroids", params=params
+                d, cents_rel="ivf_centroids", assigned_rel="ivf_assigned",
+                params=params,
             ),
             lambda d: similarity.ann_topk_batch_sql(d, params=params),
             ("embeddings",),
@@ -527,10 +547,12 @@ def build_corpus_queries(params):
                 (
                     "ivf_centroids",
                     lambda d: similarity.ivf_centroids_sql(d, params=params),
-                )
+                ),
+                _ARGMAX_STAGE,
             ],
             lambda d: similarity.ann_ivf_trained_sql(
-                d, cents_rel="ivf_centroids", params=params
+                d, cents_rel="ivf_centroids", assigned_rel="ivf_assigned",
+                params=params,
             ),
             lambda d: similarity.ann_ivf_trained_sql(d, params=params),
             ("embeddings",),
