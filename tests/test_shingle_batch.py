@@ -76,6 +76,28 @@ def test_neardup_pairs_df_matches_sql(embs):
     assert len(a) > 0
 
 
+def test_unrolled_assign_matches_aggregate_form(embs):
+    """The literal-inlined assignment (centroid values read on the
+    driver, unrolled into a codegen projection) must return exactly the
+    aggregate top-r / argmax rows, for both r=1 (projection form) and
+    r=2 (fenced-explode form)."""
+    cents = embs.sql(similarity.ivf_centroids_sql(SPARK)).localCheckpoint()
+    cents.createOrReplaceTempView("ivf_centroids_t")
+    for r in (1, 2):
+        a = _rows(
+            embs.sql(similarity.spark_topr_assign_sql(
+                "embeddings", "ivf_centroids_t", r)),
+            "vec_id", "centroid_id",
+        )
+        b = _rows(
+            similarity.assign_df(
+                embs, cents_rel="ivf_centroids_t", assign_r=r),
+            "vec_id", "centroid_id",
+        )
+        assert a == b
+        assert len(a) > 0
+
+
 def test_codegen_span_barrier_is_row_invisible(spark, monkeypatch):
     """apply_chain_spark's observe barrier must never change rows."""
     import slog_agent_spark.operators.transforms as T
