@@ -703,6 +703,13 @@ def unrolled_assign_sql(
       WHERE __fence >= 0"""
 
 
+# Literal-inlining budget: |centroids| x dims coefficient terms beyond
+# this compile to a pathologically large projection (plan/codegen cost
+# grows linearly and eventually trips method limits), so bigger index
+# configs keep the aggregate form. 16x64 default = 1024 terms.
+UNROLL_MAX_TERMS = 20_000
+
+
 def assign_df(
     spark,
     emb_rel: str = "embeddings",
@@ -713,9 +720,15 @@ def assign_df(
     """DataFrame twin of :func:`ivf_multi_assign_sql` (Spark side) over a
     MATERIALIZED centroid view: reads the centroid values once on the
     driver and runs :func:`unrolled_assign_sql`. Same rows as the
-    aggregate/window forms (pinned by tests/test_shingle_batch.py)."""
+    aggregate/window forms (pinned by tests/test_shingle_batch.py).
+    Falls back to the aggregate form when the config's |C| x dims
+    exceeds the inlining budget (UNROLL_MAX_TERMS)."""
     rows = spark.table(cents_rel).collect()
     cent_rows = [(r["centroid_id"], list(r["emb"])) for r in rows]
+    if not cent_rows or len(cent_rows) * len(cent_rows[0][1]) > UNROLL_MAX_TERMS:
+        return spark.sql(
+            spark_topr_assign_sql(emb_rel, cents_rel, assign_r, vec_col)
+        )
     return spark.sql(
         unrolled_assign_sql(cent_rows, emb_rel, assign_r, vec_col=vec_col)
     )
