@@ -617,6 +617,48 @@ def _lit_double(v: float) -> str:
     return f"CAST('{v!r}' AS DOUBLE)"
 
 
+def unrolled_sorted_structs(
+    cent_rows: list[tuple[int, list[float]]],
+) -> str:
+    """The guarded, SORTED (−cos, centroid_id) struct array over
+    literal-inlined centroid coefficients — the shared core of the
+    unrolled assignment forms. Expects the consumer to project
+    ``emb`` (the vector as ARRAY<DOUBLE>) and ``en`` (its norm);
+    element k of the result is the k-th-closest centroid under the
+    exact assignment rule (see :func:`unrolled_assign_sql`)."""
+    import math
+
+    dims = len(cent_rows[0][1])
+    structs_fast, structs_slow = [], []
+    for cid, emb in sorted(cent_rows, key=lambda r: r[0]):
+        acc = 0.0
+        for v in emb:
+            acc += v * v
+        cn = _lit_double(math.sqrt(acc))
+        dot_fast = " + ".join(
+            ["CAST(0 AS DOUBLE)"]
+            + [f"element_at(emb, {k + 1}) * {_lit_double(v)}"
+               for k, v in enumerate(emb)]
+        )
+        arr_lit = "array(" + ", ".join(_lit_double(v) for v in emb) + ")"
+        dot_slow = (
+            f"aggregate(zip_with(emb, {arr_lit}, (x, y) -> x * y), "
+            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        for dot, structs in ((dot_fast, structs_fast), (dot_slow, structs_slow)):
+            structs.append(
+                f"named_struct('nc', -round(({dot}) / "
+                f"greatest(en * {cn}, 1e-12), 4), "
+                f"'cid', CAST({cid} AS BIGINT))"
+            )
+    fast_arr = "array(" + ", ".join(structs_fast) + ")"
+    slow_arr = "array(" + ", ".join(structs_slow) + ")"
+    return (
+        f"array_sort(CASE WHEN size(emb) = {dims} THEN {fast_arr} "
+        f"ELSE {slow_arr} END)"
+    )
+
+
 def unrolled_assign_sql(
     cent_rows: list[tuple[int, list[float]]],
     emb_rel: str,
@@ -653,38 +695,8 @@ def unrolled_assign_sql(
     into the Generate operator, which evaluates its generator outside
     whole-stage codegen — measured 25s vs 0.9s at 20k vectors.
     """
-    import math
-
-    dims = len(cent_rows[0][1])
-    structs_fast, structs_slow = [], []
-    for cid, emb in sorted(cent_rows, key=lambda r: r[0]):
-        acc = 0.0
-        for v in emb:
-            acc += v * v
-        cn = _lit_double(math.sqrt(acc))
-        dot_fast = " + ".join(
-            ["CAST(0 AS DOUBLE)"]
-            + [f"element_at(emb, {k + 1}) * {_lit_double(v)}"
-               for k, v in enumerate(emb)]
-        )
-        arr_lit = "array(" + ", ".join(_lit_double(v) for v in emb) + ")"
-        dot_slow = (
-            f"aggregate(zip_with(emb, {arr_lit}, (x, y) -> x * y), "
-            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-        for dot, structs in ((dot_fast, structs_fast), (dot_slow, structs_slow)):
-            structs.append(
-                f"named_struct('nc', -round(({dot}) / "
-                f"greatest(en * {cn}, 1e-12), 4), "
-                f"'cid', CAST({cid} AS BIGINT))"
-            )
-    fast_arr = "array(" + ", ".join(structs_fast) + ")"
-    slow_arr = "array(" + ", ".join(structs_slow) + ")"
+    guarded = unrolled_sorted_structs(cent_rows)
     d = SPARK_DIALECT
-    guarded = (
-        f"array_sort(CASE WHEN size(emb) = {dims} THEN {fast_arr} "
-        f"ELSE {slow_arr} END)"
-    )
     e_side = (
         f"(SELECT vec_id, CAST({vec_col} AS ARRAY<DOUBLE>) AS emb, "
         f"{norm_expr(d, vec_col)} AS en FROM {emb_rel}) e"

@@ -72,7 +72,16 @@ def _assign_batch(batch_df: DataFrame, cents_path: str, assign_r: int):
     (vec_id, label, embedding, nrm, centroid_id, arank) with
     arank = 1..assign_r — the batch ``ivf_multi_assign`` rule (same
     rounded cosine, same centroid_id tie-break) applied to the batch's
-    vectors only."""
+    vectors only.
+
+    Deliberately the window form, NOT the batch side's
+    literal-inlined projection (similarity.unrolled_assign_sql): a
+    micro-batch re-PLANS its assignment every batch, and the inlined
+    form's |C| x dims-term expression costs more to plan per batch
+    than the interpreted folds it saves on a few hundred vectors —
+    measured 9.5s vs 8.3s for an interleaved 4-batch drain. The
+    inlining pays only where one plan amortizes over the full corpus
+    (the batch staged queries)."""
     spark = batch_df.sparkSession
     batch_df.createOrReplaceTempView("ann_batch_embs")
     _read_cents(spark, cents_path).createOrReplaceTempView("ann_cents")
